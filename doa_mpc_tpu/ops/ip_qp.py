@@ -1,0 +1,317 @@
+"""Batched primal-dual interior-point solver for OCP-structured QPs.
+
+TPU-native replacement for HPIPM (reached by the reference through
+``qp_solver='PARTIAL_CONDENSING_HPIPM'`` with ``qp_solver_iter_max=QP_ITER``,
+``robot_ocp_problem.py:126,131``). Design points:
+
+- **Mehrotra predictor-corrector** with one block-tridiagonal Riccati
+  factorization per iteration, shared by the predictor and corrector
+  back-substitutions (``ops/riccati.py``).
+- **Soft (slacked) constraints eliminated stage-wise**: the reference's
+  L1+L2 obstacle slacks (``robot_ocp_problem.py:106-122,145-152``) become,
+  per interior-point iteration, a rank-M modification C' diag(sigma_eff) C of
+  the stage Hessian with
+      sigma_eff = sigma_h * (Zl + sigma_s) / (Zl + sigma_h + sigma_s),
+  exactly the reduction HPIPM performs for its soft-constrained QPs.
+- **Fixed iteration count, masked convergence**: every scenario runs the same
+  ``iters`` iterations (static shapes, no data-dependent exit); rows whose
+  complementarity has converged take zero-length steps. This is the SPMD
+  analogue of HPIPM's ``iter_max``.
+- **Infeasible start**: inequality slacks are initialized at
+  ``max(expr, t_min)`` and the residual terms carry any initial gap, so no
+  phase-1 is needed. Dynamics are kept exactly feasible by construction
+  (initial forward rollout + Newton steps that satisfy the linearized
+  dynamics), so the Riccati affine terms are the pure Newton residuals.
+
+Everything is written single-scenario and ``vmap``-ed by callers; per-scenario
+reductions (duality measure mu, step length alpha) become per-row reductions
+under vmap, which is exactly the masked-divergence-control the closed loop
+needs (reference rows that would hit acados status 4 instead keep iterating
+with a safeguarded step).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from doa_mpc_tpu.ops.ocp_qp import IDXBX, OcpQp, normalize_cost
+from doa_mpc_tpu.ops.riccati import riccati_factorize, riccati_solve
+
+_T_FLOOR = 1e-12   # slack floor inside sigma = lambda / t
+_ZL_FLOOR = 1e-6   # L2 slack-penalty floor: keeps zero-penalty soft rows
+                   # (terminal stage: alpha_N = 0, robot_ocp_problem.py:147)
+                   # from drifting their slack to infinity along the barrier.
+
+
+class IpSolution(NamedTuple):
+    dx: jnp.ndarray        # (N+1, nx)
+    du: jnp.ndarray        # (N, nu)
+    s: jnp.ndarray         # (N+1, M) soft slacks
+    mu: jnp.ndarray        # () final duality measure
+    kappa: jnp.ndarray     # () objective normalization used internally
+    stat_res: jnp.ndarray  # () final stationarity residual (normalized cost)
+
+
+class _IpState(NamedTuple):
+    dx: jnp.ndarray
+    du: jnp.ndarray
+    s: jnp.ndarray
+    nu_dyn: jnp.ndarray    # (N, nx) dynamics multipliers
+    t_ul: jnp.ndarray; l_ul: jnp.ndarray
+    t_uu: jnp.ndarray; l_uu: jnp.ndarray
+    t_xl: jnp.ndarray; l_xl: jnp.ndarray
+    t_xu: jnp.ndarray; l_xu: jnp.ndarray
+    t_h: jnp.ndarray;  l_h: jnp.ndarray
+    l_s: jnp.ndarray       # multiplier of s >= 0 (its slack is s itself)
+
+
+def _sel(dx_stage):
+    """E @ dx for the static box selection IDXBX (robot_ocp_problem.py:94)."""
+    return dx_stage[..., jnp.asarray(IDXBX)]
+
+
+def _sel_t(v, nx):
+    """E' @ v: scatter (..., nbx) back into (..., nx)."""
+    out = jnp.zeros(v.shape[:-1] + (nx,), v.dtype)
+    return out.at[..., jnp.asarray(IDXBX)].set(v)
+
+
+def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
+                 reg: float = 1e-8, tol: float = 1e-9,
+                 normalize: bool = True, debug: bool = False) -> IpSolution:
+    """Solve one scenario's OCP QP; ``vmap`` over a leading axis to batch.
+
+    ``iters`` plays the role of the reference's QP_ITER
+    (``world_specification.py:48``).
+    """
+    dtype = qp.Q.dtype
+    N, nx, nu = qp.horizon, qp.nx, qp.nu
+    M = qp.C.shape[-2]
+    nbx = len(IDXBX)
+
+    if normalize:
+        qp, kappa = normalize_cost(qp)
+    else:
+        kappa = jnp.asarray(1.0, dtype)
+    Zl = jnp.maximum(qp.Zl, _ZL_FLOOR)
+
+    # --- initialization -------------------------------------------------
+    def rollout_dx0(_):
+        def fwd(dxk, inp):
+            Ak, ck = inp
+            nxt = Ak @ dxk + ck
+            return nxt, nxt
+        _, dxs = jax.lax.scan(fwd, qp.dx0, (qp.A, qp.c))
+        return jnp.concatenate([qp.dx0[None], dxs], axis=0)
+
+    dx = rollout_dx0(None)
+    du = jnp.zeros((N, nu), dtype)
+
+    t_min = jnp.asarray(0.1, dtype)
+    e_ul = du - qp.lb_u
+    e_uu = qp.ub_u - du
+    e_xl = _sel(dx) - qp.lb_x
+    e_xu = qp.ub_x - _sel(dx)
+    g_h = qp.hval + jnp.einsum("kmi,ki->km", qp.C, dx)
+    s0 = jnp.maximum(t_min, t_min - g_h)
+    t_h0 = g_h + s0
+
+    mu0 = jnp.asarray(1.0, dtype)
+    def init_pair(expr):
+        t = jnp.maximum(expr, t_min)
+        return t, mu0 / t
+
+    t_ul, l_ul = init_pair(e_ul)
+    t_uu, l_uu = init_pair(e_uu)
+    t_xl, l_xl = init_pair(e_xl)
+    t_xu, l_xu = init_pair(e_xu)
+    t_h = jnp.maximum(t_h0, t_min)
+    l_h = mu0 / t_h
+    l_s = mu0 / s0
+
+    n_pairs = float(2 * N * nu + 2 * (N + 1) * nbx + 2 * (N + 1) * M)
+
+    state = _IpState(dx, du, s0, jnp.zeros((N, nx), dtype),
+                     t_ul, l_ul, t_uu, l_uu, t_xl, l_xl, t_xu, l_xu,
+                     t_h, l_h, l_s)
+
+    def compl_sum(st):
+        return (jnp.sum(st.t_ul * st.l_ul) + jnp.sum(st.t_uu * st.l_uu)
+                + jnp.sum(st.t_xl * st.l_xl) + jnp.sum(st.t_xu * st.l_xu)
+                + jnp.sum(st.t_h * st.l_h) + jnp.sum(st.s * st.l_s))
+
+    def iteration(st: _IpState, _):
+        # ---- residuals --------------------------------------------------
+        r_ul = (st.du - qp.lb_u) - st.t_ul
+        r_uu = (qp.ub_u - st.du) - st.t_uu
+        r_xl = (_sel(st.dx) - qp.lb_x) - st.t_xl
+        r_xu = (qp.ub_x - _sel(st.dx)) - st.t_xu
+        g = qp.hval + jnp.einsum("kmi,ki->km", qp.C, st.dx)
+        r_h = (g + st.s) - st.t_h
+        r_s = Zl * st.s + qp.zl - st.l_h - st.l_s
+
+        r_dyn = (st.dx[1:]
+                 - jnp.einsum("kij,kj->ki", qp.A, st.dx[:-1])
+                 - jnp.einsum("kij,kj->ki", qp.B, st.du) - qp.c)
+
+        nu_prev = jnp.concatenate(
+            [jnp.zeros((1, nx), dtype), st.nu_dyn], axis=0)      # nu_{k-1}
+        nu_next = jnp.concatenate(
+            [st.nu_dyn, jnp.zeros((1, nx), dtype)], axis=0)      # nu_k (0 at N)
+        Atnu = jnp.concatenate([
+            jnp.einsum("kji,kj->ki", qp.A, st.nu_dyn),
+            jnp.zeros((1, nx), dtype)], axis=0)
+        r_x = (jnp.einsum("kij,kj->ki", qp.Q, st.dx) + qp.q
+               + jnp.concatenate([jnp.einsum("kji,kj->ki", qp.S, st.du),
+                                  jnp.zeros((1, nx), dtype)], axis=0)
+               + nu_prev - Atnu
+               - _sel_t(st.l_xl - st.l_xu, nx)
+               - jnp.einsum("kmi,km->ki", qp.C, st.l_h))
+        r_u = (jnp.einsum("kij,kj->ki", qp.R, st.du) + qp.r
+               + jnp.einsum("kij,kj->ki", qp.S, st.dx[:-1])
+               - jnp.einsum("kij,ki->kj", qp.B, st.nu_dyn)
+               - (st.l_ul - st.l_uu))
+
+        # ---- sigmas & condensed Hessian --------------------------------
+        def sig(l, t):
+            return l / jnp.maximum(t, _T_FLOOR)
+
+        s_ul, s_uu = sig(st.l_ul, st.t_ul), sig(st.l_uu, st.t_uu)
+        s_xl, s_xu = sig(st.l_xl, st.t_xl), sig(st.l_xu, st.t_xu)
+        s_h, s_s = sig(st.l_h, st.t_h), sig(st.l_s, st.s)
+        zeta = Zl + s_h + s_s
+        s_eff = s_h * (Zl + s_s) / zeta
+
+        Qbar = (qp.Q
+                + jax.vmap(jnp.diag)(_sel_t(s_xl + s_xu, nx))
+                + jnp.einsum("kmi,km,kmj->kij", qp.C, s_eff, qp.C))
+        Rbar = qp.R + jax.vmap(jnp.diag)(s_ul + s_uu)
+
+        fac = riccati_factorize(Qbar, Rbar, qp.S, qp.A, qp.B, reg=reg)
+
+        mu = compl_sum(st) / n_pairs
+
+        def directions(beta_ul, beta_uu, beta_xl, beta_xu, beta_h, beta_s):
+            rho = -r_s + beta_h + beta_s - s_h * r_h
+            beta_hat = beta_h - s_h * r_h - s_h * rho / zeta
+            qbar = (r_x
+                    - _sel_t(beta_xl - s_xl * r_xl, nx)
+                    + _sel_t(beta_xu - s_xu * r_xu, nx)
+                    - jnp.einsum("kmi,km->ki", qp.C, beta_hat))
+            rbar = r_u - (beta_ul - s_ul * r_ul) + (beta_uu - s_uu * r_uu)
+            # The LQR's costate IS the Newton increment Dnu: the Newton rows
+            # Qbar*Ddx + S'*Ddu + Dnu_{k-1} - A'*Dnu_k = -qbar match the
+            # LQR stationarity with multiplier nu~ = Dnu.
+            Ddx, Ddu, Dnu = riccati_solve(
+                fac, qbar, rbar, -r_dyn, jnp.zeros((nx,), dtype))
+            ds = (rho - s_h * jnp.einsum("kmi,ki->km", qp.C, Ddx)) / zeta
+            dt_h = jnp.einsum("kmi,ki->km", qp.C, Ddx) + ds + r_h
+            dl_h = beta_h - s_h * dt_h
+            dl_s = beta_s - s_s * ds
+            dt_ul = Ddu + r_ul
+            dt_uu = -Ddu + r_uu
+            dt_xl = _sel(Ddx) + r_xl
+            dt_xu = -_sel(Ddx) + r_xu
+            dl_ul = beta_ul - s_ul * dt_ul
+            dl_uu = beta_uu - s_uu * dt_uu
+            dl_xl = beta_xl - s_xl * dt_xl
+            dl_xu = beta_xu - s_xu * dt_xu
+            return (Ddx, Ddu, Dnu, ds,
+                    dt_ul, dl_ul, dt_uu, dl_uu, dt_xl, dl_xl,
+                    dt_xu, dl_xu, dt_h, dl_h, dl_s)
+
+        def max_step(vals, tau_f):
+            """Largest a in [0,1] with v + a*dv >= (1-tau_f)*v for all pairs.
+
+            The division is guarded by substituting the denominator only on
+            the unselected branch — clamping |dv| itself would silently cap
+            the step for pairs whose v and dv are both legitimately tiny
+            (e.g. multipliers of never-active BIG_BOUND rows, ~mu/1e6).
+            """
+            a = jnp.asarray(1.0, dtype)
+            for v, dv in vals:
+                neg = dv < 0
+                denom = jnp.where(neg, -dv, 1.0)
+                ratio = jnp.where(neg, tau_f * v / denom, 2.0)
+                a = jnp.minimum(a, jnp.min(ratio))
+            return a
+
+        # ---- predictor (affine scaling) --------------------------------
+        aff = directions(-st.l_ul, -st.l_uu, -st.l_xl, -st.l_xu,
+                         -st.l_h, -st.l_s)
+        (Adx, Adu, Anu, As,
+         At_ul, Al_ul, At_uu, Al_uu, At_xl, Al_xl,
+         At_xu, Al_xu, At_h, Al_h, Al_s) = aff
+
+        prim_aff = [(st.t_ul, At_ul), (st.t_uu, At_uu), (st.t_xl, At_xl),
+                    (st.t_xu, At_xu), (st.t_h, At_h), (st.s, As)]
+        dual_aff = [(st.l_ul, Al_ul), (st.l_uu, Al_uu), (st.l_xl, Al_xl),
+                    (st.l_xu, Al_xu), (st.l_h, Al_h), (st.l_s, Al_s)]
+        one = jnp.asarray(1.0, dtype)
+        ap_aff = max_step(prim_aff, one)
+        ad_aff = max_step(dual_aff, one)
+        mu_aff = (
+            jnp.sum((st.t_ul + ap_aff * At_ul) * (st.l_ul + ad_aff * Al_ul))
+            + jnp.sum((st.t_uu + ap_aff * At_uu) * (st.l_uu + ad_aff * Al_uu))
+            + jnp.sum((st.t_xl + ap_aff * At_xl) * (st.l_xl + ad_aff * Al_xl))
+            + jnp.sum((st.t_xu + ap_aff * At_xu) * (st.l_xu + ad_aff * Al_xu))
+            + jnp.sum((st.t_h + ap_aff * At_h) * (st.l_h + ad_aff * Al_h))
+            + jnp.sum((st.s + ap_aff * As) * (st.l_s + ad_aff * Al_s))
+        ) / n_pairs
+        sig_c = jnp.clip((mu_aff / jnp.maximum(mu, _T_FLOOR)) ** 3, 0.0, 1.0)
+        mu_t = sig_c * mu
+
+        # ---- corrector --------------------------------------------------
+        def beta_c(t, l, dt_a, dl_a):
+            return (mu_t - t * l - dt_a * dl_a) / jnp.maximum(t, _T_FLOOR)
+
+        cor = directions(
+            beta_c(st.t_ul, st.l_ul, At_ul, Al_ul),
+            beta_c(st.t_uu, st.l_uu, At_uu, Al_uu),
+            beta_c(st.t_xl, st.l_xl, At_xl, Al_xl),
+            beta_c(st.t_xu, st.l_xu, At_xu, Al_xu),
+            beta_c(st.t_h, st.l_h, At_h, Al_h),
+            beta_c(st.s, st.l_s, As, Al_s),
+        )
+        (Ddx, Ddu, Dnu, Ds,
+         Dt_ul, Dl_ul, Dt_uu, Dl_uu, Dt_xl, Dl_xl,
+         Dt_xu, Dl_xu, Dt_h, Dl_h, Dl_s) = cor
+
+        prim = [(st.t_ul, Dt_ul), (st.t_uu, Dt_uu), (st.t_xl, Dt_xl),
+                (st.t_xu, Dt_xu), (st.t_h, Dt_h), (st.s, Ds)]
+        dual = [(st.l_ul, Dl_ul), (st.l_uu, Dl_uu), (st.l_xl, Dl_xl),
+                (st.l_xu, Dl_xu), (st.l_h, Dl_h), (st.l_s, Dl_s)]
+        tau_f = jnp.asarray(tau, dtype)
+        a_p = max_step(prim, tau_f)
+        a_d = max_step(dual, tau_f)
+
+        stat = jnp.maximum(jnp.max(jnp.abs(r_x[1:])), jnp.max(jnp.abs(r_u)))
+        converged = (mu < tol) & (stat < jnp.asarray(1e-8, dtype))
+        a_p = jnp.where(converged, 0.0, a_p)
+        a_d = jnp.where(converged, 0.0, a_d)
+
+        new = _IpState(
+            dx=st.dx + a_p * Ddx,
+            du=st.du + a_p * Ddu,
+            s=st.s + a_p * Ds,
+            nu_dyn=st.nu_dyn + a_d * Dnu,
+            t_ul=st.t_ul + a_p * Dt_ul, l_ul=st.l_ul + a_d * Dl_ul,
+            t_uu=st.t_uu + a_p * Dt_uu, l_uu=st.l_uu + a_d * Dl_uu,
+            t_xl=st.t_xl + a_p * Dt_xl, l_xl=st.l_xl + a_d * Dl_xl,
+            t_xu=st.t_xu + a_p * Dt_xu, l_xu=st.l_xu + a_d * Dl_xu,
+            t_h=st.t_h + a_p * Dt_h, l_h=st.l_h + a_d * Dl_h,
+            l_s=st.l_s + a_d * Dl_s,
+        )
+        return new, (mu, stat, jnp.minimum(a_p, a_d), sig_c)
+
+    state, (mus, stats, alphas, sigs) = jax.lax.scan(
+        iteration, state, None, length=iters)
+
+    sol = IpSolution(dx=state.dx, du=state.du, s=state.s,
+                     mu=mus[-1], kappa=kappa, stat_res=stats[-1])
+    if debug:
+        return sol, {"mu": mus, "stat": stats, "alpha": alphas, "sigma": sigs}
+    return sol

@@ -78,7 +78,10 @@ def riccati_solve(fac: RiccatiFactors, q, r, d, x0):
     """Back-substitution for one right-hand side.
 
     Args: q (N+1, nx), r (N, nu), d (N, nx) dynamics affine terms, x0 (nx,)
-    fixed initial state. Returns (x (N+1, nx), u (N, nu)) minimizing the QP.
+    fixed initial state. Returns (x (N+1, nx), u (N, nu), nu_dyn (N, nx))
+    where ``nu_dyn[k]`` is the multiplier of the k-th dynamics constraint
+    (the LQR costate P_{k+1} x_{k+1} + p_{k+1}) — needed by the
+    interior-point caller to maintain stationarity residuals.
     """
     A, B, P, Luu, K = fac.A, fac.B, fac.P, fac.Luu, fac.K
 
@@ -88,11 +91,12 @@ def riccati_solve(fac: RiccatiFactors, q, r, d, x0):
         m = rk + Bk.T @ Pd_p                              # (nu,)
         kff = -cho_solve((Lc, True), m)
         p = qk + Ak.T @ Pd_p + Kk.T @ m
-        return p, kff
+        return p, (kff, p_next)
 
-    _, kff = jax.lax.scan(
+    _, (kff, p_seq) = jax.lax.scan(
         backward, q[-1], (q[:-1], r, d, A, B, P[1:], Luu, K), reverse=True
     )
+    # p_seq[k] = p_{k+1} (outputs come back in forward stage order)
 
     def forward(xk, inp):
         Ak, Bk, dk, Kk, kffk = inp
@@ -102,4 +106,8 @@ def riccati_solve(fac: RiccatiFactors, q, r, d, x0):
 
     xN, (xs, us) = jax.lax.scan(forward, x0, (A, B, d, K, kff))
     x = jnp.concatenate([xs, xN[None]], axis=0)
-    return x, us
+    # Multiplier of constraint k (x_{k+1} - A x_k - B u_k - d_k = 0) under
+    # the convention  Q x_k + q_k + nu_{k-1} - A' nu_k = 0:
+    # nu_k = -(P_{k+1} x_{k+1} + p_{k+1})  (negative value-function gradient).
+    nu_dyn = -(jnp.einsum("kij,kj->ki", P[1:], x[1:]) + p_seq)
+    return x, us, nu_dyn
