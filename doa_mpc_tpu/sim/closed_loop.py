@@ -1,0 +1,191 @@
+"""Closed-loop RTI simulation as a jitted, batched ``lax.scan``.
+
+TPU-native rewrite of ``RobotOcpProblem.step`` (the reference's hot loop,
+``/root/reference/src/simulation/robot_ocp_problem.py:168-277``): the Python
+while-loop with per-stage solver chatter becomes one scan whose carried state
+is a pytree of device arrays; per-scenario early exit ("reached goal ->
+break", :247-250) becomes a ``done`` mask that freezes finished rows while
+the rest of the batch keeps solving.
+
+Per tick, mirroring :184-258 in order:
+
+1. forecast obstacle trajectories (noise-free bounce, :154-160),
+2. recompute the distance-scaled slack weights (:145-152, via build_qp),
+3. RTI solve from the warm-started guess and take u0 (:195-198),
+4. integrate the plant one dt with the same IRK scheme (:207-212),
+5. step the obstacle world with motion noise (:217-218),
+6. update min-margin / collision / out-of-bounds / goal metrics (:213-250),
+7. shift the warm start (:253-258).
+
+Note: the reference continues simulating after a collision — only reaching
+the goal (or the tick budget) ends a run; ``hit`` is judged afterwards from
+``min_margin <= 0`` (:277). Reproduced exactly. The acados status-4 reset
+path (:203-205) has no analogue: the interior-point solve is fixed-iteration
+and cannot "fail"; divergence control is the masked step-length safeguard
+inside the solver.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from doa_mpc_tpu.config import CostParams, SolverOptions, WorldSpec
+from doa_mpc_tpu.sim.obstacles import (
+    ObstacleState, generate_obstacles, obstacle_step, predict_trajectory,
+)
+from doa_mpc_tpu.solver.sqp_rti import RtiController, RtiState
+
+
+class LoopState(NamedTuple):
+    """Carried per-scenario closed-loop state (batched by vmap)."""
+
+    x0: jnp.ndarray          # (nx,) current plant state
+    rti: RtiState            # warm-started solver trajectories
+    obst: ObstacleState      # obstacle world
+    key: jnp.ndarray         # per-scenario PRNG key
+    done: jnp.ndarray        # () bool — goal reached, row frozen
+    reached: jnp.ndarray     # () bool
+    oob: jnp.ndarray         # () bool — ever left the 16x16 grid (:213-214)
+    min_margin: jnp.ndarray  # () running min margin to any obstacle (:222-228)
+    dist: jnp.ndarray        # () last distance to goal (:247)
+    steps: jnp.ndarray       # () int32 — reference's returned i (:277)
+
+
+class LoopMetrics(NamedTuple):
+    """The 6-column result row written by experiments.py:36
+    (robot_ocp_problem.py:277 minus the state)."""
+
+    hit: jnp.ndarray
+    reached: jnp.ndarray
+    min_margin: jnp.ndarray
+    dist: jnp.ndarray
+    steps: jnp.ndarray
+    oob: jnp.ndarray
+
+
+def metrics_of(state: LoopState) -> LoopMetrics:
+    return LoopMetrics(
+        hit=(state.min_margin <= 0.0),
+        reached=state.reached,
+        min_margin=state.min_margin,
+        dist=state.dist,
+        steps=state.steps,
+        oob=state.oob,
+    )
+
+
+def init_loop_state(key, ctrl: RtiController, x_init, goal,
+                    scenario: str = "RANDOM", batch_shape=()) -> LoopState:
+    """Fresh experiment (set_up_new_experiment, robot_ocp_problem.py:309):
+    new obstacles, cold-started solver, cleared metrics."""
+    spec = ctrl.spec
+    kobs, kloop = jax.random.split(key)
+    obst = generate_obstacles(kobs, spec, scenario, batch_shape)
+    dtype = x_init.dtype
+
+    def one(x):
+        return ctrl.cold_start(x)
+
+    if batch_shape:
+        x_init = jnp.broadcast_to(x_init, tuple(batch_shape) + x_init.shape[-1:])
+        rti = jax.vmap(one)(x_init.reshape((-1, x_init.shape[-1])))
+        rti = jax.tree.map(
+            lambda a: a.reshape(tuple(batch_shape) + a.shape[1:]), rti)
+        keys = jax.random.split(kloop, int(jnp.prod(jnp.asarray(batch_shape))))
+        keys = keys.reshape(tuple(batch_shape) + keys.shape[1:])
+    else:
+        rti = one(x_init)
+        keys = kloop
+
+    zeros = jnp.zeros(batch_shape, dtype)
+    dist0 = jnp.linalg.norm(
+        x_init[..., :2] - goal, axis=-1) * jnp.ones(batch_shape, dtype)
+    return LoopState(
+        x0=x_init, rti=rti, obst=obst, key=keys,
+        done=jnp.zeros(batch_shape, bool),
+        reached=jnp.zeros(batch_shape, bool),
+        oob=jnp.zeros(batch_shape, bool),
+        min_margin=jnp.full(batch_shape, jnp.inf, dtype),
+        dist=dist0,
+        steps=jnp.zeros(batch_shape, jnp.int32),
+    )
+
+
+def make_tick(ctrl: RtiController, goal, params: CostParams,
+              random_move: bool = True):
+    """Build the single-scenario tick function (vmap for the batch)."""
+    spec, opts = ctrl.spec, ctrl.options
+    n = spec.n_solv
+    dt = spec.tf / spec.n_solv
+
+    def tick(st: LoopState) -> LoopState:
+        # 1. obstacle forecast for the horizon (parameterize_model, :154-166)
+        pred = predict_trajectory(
+            st.obst, spec, n, compat_pred_bug=opts.compat_pred_bug)
+        # pred: (N+1, M, 2)
+
+        # 2-3. one real-time iteration from the warm start
+        rti_new, u0, _ = ctrl.rti_step(st.rti, st.x0, goal, pred, params)
+
+        # 4. plant step (ocp_integrator, :207-212)
+        x_new = ctrl.integrate(st.x0, u0)
+
+        # 5. obstacle world advances with motion noise (:217-218)
+        key, sub = jax.random.split(st.key)
+        obst_new = obstacle_step(sub, st.obst, spec, random_move=random_move)
+
+        # 6. metrics (:213-250)
+        oob = (st.oob | (jnp.abs(x_new[0]) > spec.x_max)
+               | (jnp.abs(x_new[1]) > spec.y_max))
+        d = x_new[None, :2] - obst_new.pos
+        margin = jnp.min(jnp.linalg.norm(d, axis=-1)
+                         - (spec.r_obst + spec.r_robot))
+        min_margin = jnp.minimum(st.min_margin, margin)
+        dist = jnp.linalg.norm(x_new[:2] - goal)
+        reached = dist <= spec.tol
+        steps = st.steps + jnp.int32(~reached)
+
+        # 7. warm-start shift (:253-258)
+        rti_shifted = ctrl.shift(rti_new)
+
+        new = LoopState(
+            x0=x_new, rti=rti_shifted, obst=obst_new, key=key,
+            done=st.done | reached, reached=st.reached | reached,
+            oob=oob, min_margin=min_margin, dist=dist, steps=steps)
+
+        # freeze finished rows (the reference's `break`, :249-250)
+        return jax.tree.map(
+            lambda old, upd: jnp.where(_mask(st.done, upd.ndim), old, upd),
+            st, new)
+
+    return tick
+
+
+def _mask(done, ndim):
+    """Broadcast the scalar done flag over an array of rank ndim."""
+    return jnp.reshape(done, (1,) * ndim) if ndim else done
+
+
+def make_rollout(ctrl: RtiController, goal, params: CostParams,
+                 max_iter: int = 400, random_move: bool = True,
+                 collect: bool = False):
+    """Scan ``max_iter`` ticks (the reference's step(400),
+    experiments.py:36). With ``collect`` the robot/obstacle trajectory is
+    stacked (for golden tests and visualization)."""
+    tick = make_tick(ctrl, goal, params, random_move=random_move)
+
+    def rollout(st: LoopState):
+        def body(s, _):
+            s2 = tick(s)
+            out = (s2.x0, s2.obst.pos) if collect else None
+            return s2, out
+
+        final, traj = jax.lax.scan(body, st, None, length=max_iter)
+        if collect:
+            return final, traj
+        return final
+
+    return rollout

@@ -1,0 +1,136 @@
+"""Closed-loop RTI tests: goal reaching, bound satisfaction, batching.
+
+Mirrors the reference's only systematic check — seeded Monte-Carlo runs of
+``RobotOcpProblem.step(400)`` (experiments.py:32-36) — at test-friendly
+sizes (N=10 horizon, reduced tick budgets).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from doa_mpc_tpu.config import WorldSpec, SolverOptions, default_cost_params
+from doa_mpc_tpu.sim.closed_loop import (
+    init_loop_state, make_rollout, make_tick, metrics_of,
+)
+from doa_mpc_tpu.sim.obstacles import ObstacleState, robot_start_goal
+from doa_mpc_tpu.solver.sqp_rti import make_rti_controller
+
+SPEC = WorldSpec(tf=1.0, n_solv=10, qp_iter=15)
+OPTS = SolverOptions(qp_iter=15, integrator="rk4")
+
+
+def _setup(dtype=jnp.float64):
+    ctrl = make_rti_controller(SPEC, OPTS, dtype=dtype)
+    params = default_cost_params(SPEC, dtype=dtype)
+    start, goal = robot_start_goal(SPEC)
+    return ctrl, params, start.astype(dtype), goal.astype(dtype)
+
+
+def _parked_obstacles(spec, dtype):
+    """Obstacles parked far from the start-goal diagonal, zero velocity."""
+    pos = jnp.array([[-6.0, 6.0]] * spec.n_obst, dtype)
+    vel = jnp.zeros((spec.n_obst, 2), dtype)
+    return ObstacleState(pos, vel)
+
+
+def test_reaches_goal_with_parked_obstacles():
+    ctrl, params, start, goal = _setup()
+    st = init_loop_state(jax.random.PRNGKey(0), ctrl, start, goal)
+    st = st._replace(obst=_parked_obstacles(SPEC, jnp.float64))
+    rollout = jax.jit(make_rollout(ctrl, goal, params, max_iter=120,
+                                   random_move=False))
+    fin = rollout(st)
+    m = metrics_of(fin)
+    assert bool(m.reached), (float(m.dist), int(m.steps))
+    assert not bool(m.hit)
+    assert not bool(m.oob)
+    assert float(m.dist) <= SPEC.tol + 1e-9
+    # done-rows freeze: steps strictly below budget, state frozen at goal
+    assert int(m.steps) < 120
+
+
+def test_respects_control_and_state_bounds():
+    ctrl, params, start, goal = _setup()
+    st = init_loop_state(jax.random.PRNGKey(1), ctrl, start, goal)
+    st = st._replace(obst=_parked_obstacles(SPEC, jnp.float64))
+    rollout = jax.jit(make_rollout(ctrl, goal, params, max_iter=120,
+                                   random_move=False, collect=True))
+    fin, (xs, _) = rollout(st)
+    xs = np.asarray(xs)
+    steps = int(metrics_of(fin).steps)
+    dt = SPEC.dt
+    # v' = u_a exactly, so finite differences recover the applied controls
+    dv = np.diff(np.concatenate([[np.asarray(st.x0)[3]], xs[:steps, 3]])) / dt
+    dom = np.diff(np.concatenate([[np.asarray(st.x0)[4]], xs[:steps, 4]])) / dt
+    assert np.max(np.abs(dv)) <= SPEC.c_max + 1e-6
+    assert np.max(np.abs(dom)) <= SPEC.c_max + 1e-6
+    # state box (robot_ocp_problem.py:92-94): position within +-7, |v| <= 10
+    assert np.max(np.abs(xs[:steps, :2])) <= 7.0 + 1e-6
+    assert np.max(np.abs(xs[:steps, 3])) <= SPEC.v_max_robot + 1e-6
+
+
+def test_avoids_moving_obstacles_most_seeds():
+    # the bundled-baseline config (TF=2, N=20; BASELINE.md rows 4-7)
+    spec = WorldSpec(tf=2.0, n_solv=20, qp_iter=20)
+    opts = SolverOptions(qp_iter=20, integrator="rk4")
+    ctrl = make_rti_controller(spec, opts, dtype=jnp.float64)
+    params = default_cost_params(spec, dtype=jnp.float64)
+    start, goal = robot_start_goal(spec)
+    rollout = jax.jit(make_rollout(ctrl, goal, params, max_iter=350))
+    reached, hits = 0, 0
+    # seeds 1-3: seed 0 parks an obstacle on the goal for this PRNG stream
+    # (a legitimate non-reach also present in the reference data's
+    # steps=400 rows)
+    for seed in [1, 2, 3]:
+        st = init_loop_state(jax.random.PRNGKey(seed), ctrl, start, goal,
+                             "RANDOM")
+        m = metrics_of(rollout(st))
+        reached += int(bool(m.reached))
+        hits += int(bool(m.hit))
+    # quality bar from the reference Monte-Carlo data (BASELINE.md): ~90%
+    # goal-reached, ~16% collision over 100 seeds; with 3 seeds demand
+    # at least 2 reached and at most 1 collision.
+    assert reached >= 2, (reached, hits)
+    assert hits <= 1
+
+
+def test_batched_rollout_matches_single():
+    ctrl, params, start, goal = _setup()
+    B = 3
+    keys = jax.random.split(jax.random.PRNGKey(7), B)
+    states = [init_loop_state(k, ctrl, start, goal, "RANDOM") for k in keys]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    rollout = make_rollout(ctrl, goal, params, max_iter=40)
+    out_b = jax.jit(jax.vmap(rollout))(batched)
+    for i in range(B):
+        out_s = jax.jit(rollout)(states[i])
+        mb = metrics_of(jax.tree.map(lambda a: a[i], out_b))
+        ms = metrics_of(out_s)
+        np.testing.assert_allclose(float(mb.min_margin), float(ms.min_margin),
+                                   atol=1e-8)
+        np.testing.assert_allclose(float(mb.dist), float(ms.dist), atol=1e-8)
+        assert int(mb.steps) == int(ms.steps)
+
+
+def test_tick_freezes_done_rows():
+    ctrl, params, start, goal = _setup()
+    st = init_loop_state(jax.random.PRNGKey(2), ctrl, start, goal)
+    st = st._replace(done=jnp.asarray(True))
+    tick = jax.jit(make_tick(ctrl, goal, params))
+    st2 = tick(st)
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_f32_loop_runs_and_reaches():
+    # production dtype: the same parked-obstacle scenario must still reach
+    ctrl, params, start, goal = _setup(dtype=jnp.float32)
+    st = init_loop_state(jax.random.PRNGKey(0), ctrl, start, goal)
+    st = st._replace(obst=_parked_obstacles(SPEC, jnp.float32))
+    rollout = jax.jit(make_rollout(ctrl, goal, params, max_iter=120,
+                                   random_move=False))
+    m = metrics_of(rollout(st))
+    assert bool(m.reached)
+    assert not bool(m.hit)
