@@ -1,0 +1,148 @@
+"""Batched Monte-Carlo experiment harness.
+
+Replaces the reference's serial 100-seed loop
+(``/root/reference/src/simulation/experiments.py:12-46``): all seeds of a
+configuration run as ONE batched, optionally mesh-sharded closed-loop scan.
+The output artifacts keep the reference's exact schema so downstream
+evaluation is drop-in compatible:
+
+- ``<stamp>_experiment_data.csv``: one row per seed, semicolon-delimited,
+  columns (hit, reached_goal, min_margin, final_dist, steps, out_of_bounds)
+  — the ``ocp.step(400)[1:]`` tuple of robot_ocp_problem.py:277 written at
+  experiments.py:36-40.
+- ``<stamp>_experiment_spec.json``: the configuration dictionary of
+  experiments.py:30.
+
+Config sweeps that the reference performs by string-rewriting
+``world_specification.py`` and re-exec-ing itself
+(``run_multiple_experiments.py:8-21``) are here just loops over WorldSpec
+values — each configuration is a fresh jit specialization, no processes, no
+file mutation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+from typing import Iterable, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from doa_mpc_tpu.config import (
+    CostParams, SolverOptions, WorldSpec, default_cost_params,
+)
+from doa_mpc_tpu.sim.closed_loop import (
+    init_loop_state, make_rollout, metrics_of,
+)
+from doa_mpc_tpu.sim.obstacles import robot_start_goal
+from doa_mpc_tpu.solver.sqp_rti import make_rti_controller
+
+
+def run_scenario_batch(spec: WorldSpec, opts: SolverOptions, scenario: str,
+                       n_runs: int = 100, max_iter: int = 400,
+                       seed: int = 0, dtype=jnp.float32,
+                       params: CostParams | None = None,
+                       mesh=None, start_goal_margin: float = 1.0):
+    """Run ``n_runs`` seeded scenarios in one batched rollout.
+
+    Start/goal mirror experiments.py:20: start (X_MIN+1, Y_MIN+1, pi/4, 0, 0),
+    goal (X_MAX-1, Y_MAX-1). Returns a (n_runs, 6) metrics array in the
+    reference CSV column order.
+    """
+    ctrl = make_rti_controller(spec, opts, dtype=dtype)
+    params = params or default_cost_params(spec, dtype=dtype)
+    start, goal = robot_start_goal(spec, margin=start_goal_margin)
+    start, goal = start.astype(dtype), goal.astype(dtype)
+
+    state = init_loop_state(jax.random.PRNGKey(seed), ctrl, start, goal,
+                            scenario, batch_shape=(n_runs,))
+    rollout = make_rollout(ctrl, goal, params, max_iter=max_iter)
+
+    if mesh is not None:
+        from doa_mpc_tpu.parallel.mesh import (
+            make_sharded_rollout, shard_leading_axis,
+        )
+        state = shard_leading_axis(state, mesh)
+        fn = jax.jit(make_sharded_rollout(rollout, mesh))
+        final, _stats = fn(state)
+    else:
+        final = jax.jit(jax.vmap(rollout))(state)
+
+    m = jax.vmap(metrics_of)(final)
+    data = np.stack([
+        np.asarray(m.hit, np.float64),
+        np.asarray(m.reached, np.float64),
+        np.asarray(m.min_margin, np.float64),
+        np.asarray(m.dist, np.float64),
+        np.asarray(m.steps, np.float64),
+        np.asarray(m.oob, np.float64),
+    ], axis=1)
+    return data
+
+
+def run_experiment(spec: WorldSpec | None = None,
+                   opts: SolverOptions | None = None,
+                   scenarios: Sequence[str] = ("RANDOM", "EDGE"),
+                   n_runs: int = 100, max_iter: int = 400,
+                   out_dir: str = "test_data/new",
+                   dtype=jnp.float32, mesh=None, verbose: bool = True):
+    """The experiments.py:12-46 driver: per scenario, run the seeded batch
+    and persist CSV + spec JSON with the reference's naming convention."""
+    spec = spec or WorldSpec()
+    opts = opts or SolverOptions(qp_iter=spec.qp_iter)
+    os.makedirs(out_dir, exist_ok=True)
+    results = {}
+    for s in scenarios:
+        if verbose:
+            print(f"{s}: solving {n_runs} scenarios (N={spec.n_solv}, "
+                  f"M={spec.n_obst}, qp_iter={opts.qp_iter})")
+        data = run_scenario_batch(spec, opts, s, n_runs=n_runs,
+                                  max_iter=max_iter, dtype=dtype, mesh=mesh)
+        stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        csv_path = os.path.join(out_dir, f"{stamp}_experiment_data.csv")
+        np.savetxt(csv_path, data, delimiter=";")
+        exp = {
+            "slack": True, "random_move": True, "init_guess": True,
+            "scenario": s, "TF": spec.tf, "N_SOLV": spec.n_solv,
+            "N_OBST": spec.n_obst, "QP_ITER": opts.qp_iter,
+            # extra provenance (absent from the reference schema)
+            "engine": "doa_mpc_tpu", "integrator": opts.integrator,
+            "dtype": str(np.dtype(np.float32 if dtype == jnp.float32
+                                  else np.float64)),
+        }
+        with open(os.path.join(out_dir, f"{stamp}_experiment_spec.json"),
+                  "w") as f:
+            json.dump(exp, f)
+        results[s] = data
+        if verbose:
+            print(f"  collision={data[:, 0].mean():.2%} "
+                  f"reached={data[:, 1].mean():.2%} "
+                  f"oob={data[:, 5].mean():.2%} "
+                  f"median_steps={np.median(data[:, 4]):.0f}")
+    return results
+
+
+def run_horizon_sweep(tf_values: Iterable[float] = (0.5, 1, 1.5, 2, 2.5, 3),
+                      n_obst_values: Iterable[int] = (5, 10, 15, 20, 25, 30),
+                      **kw):
+    """The run_multiple_experiments.py:4-31 sweep (TF x N_OBST grid) with
+    config-as-data instead of source-file rewriting."""
+    out = {}
+    for tf in tf_values:
+        for m in n_obst_values:
+            spec = WorldSpec(tf=float(tf), n_solv=int(tf * 10), n_obst=int(m))
+            out[(tf, m)] = run_experiment(spec=spec, **kw)
+    return out
+
+
+def run_qp_iter_sweep(qp_iters: Iterable[int] = (25, 50, 100, 150), **kw):
+    """The run_experiments_qp_solver sweep (run_multiple_experiments.py:33-41)."""
+    out = {}
+    for it in qp_iters:
+        spec = WorldSpec(qp_iter=int(it))
+        opts = SolverOptions(qp_iter=int(it))
+        out[it] = run_experiment(spec=spec, opts=opts, **kw)
+    return out

@@ -1,0 +1,88 @@
+"""Experiment harness + evaluation tests (tiny configs for CPU speed)."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from doa_mpc_tpu.config import SolverOptions, WorldSpec
+from doa_mpc_tpu.sim.evaluate import (
+    collision_ratio, goal_ratio_excluding_collisions, load_experiment_data,
+    plot_graph, plot_graph_qp_solver, summarize,
+)
+from doa_mpc_tpu.sim.experiments import run_experiment, run_scenario_batch
+
+SPEC = WorldSpec(tf=0.5, n_solv=5, n_obst=3, qp_iter=8)
+OPTS = SolverOptions(qp_iter=8, integrator="rk4")
+
+
+def test_run_experiment_writes_reference_schema(tmp_path):
+    out = str(tmp_path)
+    res = run_experiment(spec=SPEC, opts=OPTS, scenarios=("RANDOM",),
+                         n_runs=8, max_iter=30, out_dir=out,
+                         dtype=jnp.float64, verbose=False)
+    assert res["RANDOM"].shape == (8, 6)
+    csvs = [f for f in os.listdir(out) if f.endswith("_data.csv")]
+    specs = [f for f in os.listdir(out) if f.endswith("_spec.json")]
+    assert len(csvs) == 1 and len(specs) == 1
+    data = np.loadtxt(os.path.join(out, csvs[0]), delimiter=";")
+    assert data.shape == (8, 6)
+    with open(os.path.join(out, specs[0])) as f:
+        spec = json.load(f)
+    # the reference schema keys (experiments.py:30)
+    for key in ("slack", "random_move", "init_guess", "scenario", "TF",
+                "N_SOLV", "N_OBST", "QP_ITER"):
+        assert key in spec
+    assert spec["scenario"] == "RANDOM"
+    assert spec["N_SOLV"] == 5
+
+    # evaluation helpers consume the directory
+    pairs = load_experiment_data(out)
+    assert len(pairs) == 1
+    rows = summarize(out)
+    assert rows[0]["n"] == 8
+    assert 0.0 <= rows[0]["collision"] <= 1.0
+
+
+def test_evaluate_on_reference_bundled_data():
+    """Our evaluation math must reproduce BASELINE.md's published aggregates
+    from the reference's own bundled CSVs."""
+    ref_dir = "/root/reference/src/simulation/test_data"
+    if not os.path.isdir(ref_dir):
+        import pytest
+        pytest.skip("reference data not mounted")
+    pairs = load_experiment_data(ref_dir)
+    assert len(pairs) == 10
+    by_key = {}
+    for spec, data in pairs:
+        by_key[(spec["scenario"], spec["TF"], spec["QP_ITER"],
+                spec["init_guess"])] = data
+    # BASELINE.md row: RANDOM TF=2 QP_ITER=100 -> 16% collision, 99% reached
+    d = by_key[("RANDOM", 2, 100, True)]
+    assert abs(collision_ratio(d) - 0.16) < 1e-9
+    assert abs(d[:, 1].mean() - 0.99) < 1e-9
+    # EDGE TF=2 QP_ITER=100 -> 11% collision, 88% reached
+    d = by_key[("EDGE", 2, 100, True)]
+    assert abs(collision_ratio(d) - 0.11) < 1e-9
+    assert abs(d[:, 1].mean() - 0.88) < 1e-9
+
+
+def test_plots_render(tmp_path):
+    out = str(tmp_path)
+    run_experiment(spec=SPEC, opts=OPTS, scenarios=("RANDOM", "EDGE"),
+                   n_runs=4, max_iter=20, out_dir=out, dtype=jnp.float64,
+                   verbose=False)
+    plot_graph(out, out_dir=out)
+    plot_graph_qp_solver(out, out_dir=out)
+    for f in ("plot_collision_rate_seperate.svg",
+              "plot_goal_reached_rate_seperate.svg", "plot_qp_iter.svg"):
+        assert os.path.exists(os.path.join(out, f))
+
+
+def test_scenario_batch_deterministic():
+    d1 = run_scenario_batch(SPEC, OPTS, "RANDOM", n_runs=4, max_iter=15,
+                            seed=3, dtype=jnp.float64)
+    d2 = run_scenario_batch(SPEC, OPTS, "RANDOM", n_runs=4, max_iter=15,
+                            seed=3, dtype=jnp.float64)
+    np.testing.assert_array_equal(d1, d2)
