@@ -80,14 +80,25 @@ def _sel_t(v, nx):
 
 
 def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
-                 reg: float = 1e-8, tol: float = 1e-9,
+                 reg: float | None = None, tol: float | None = None,
                  normalize: bool = True, debug: bool = False) -> IpSolution:
     """Solve one scenario's OCP QP; ``vmap`` over a leading axis to batch.
 
     ``iters`` plays the role of the reference's QP_ITER
-    (``world_specification.py:48``).
+    (``world_specification.py:48``). Float32 (the TPU production dtype) is
+    first-class: barrier terms are clamped (``sigma_max``), iterates are
+    floored away from exact zero, and rows freeze once their duality measure
+    reaches the dtype's achievable tolerance — the masked-divergence
+    safeguard that replaces acados' status-4 reset path
+    (robot_ocp_problem.py:203-205).
     """
     dtype = qp.Q.dtype
+    is32 = dtype == jnp.float32
+    # dtype-calibrated safeguards (values are in normalized-cost units)
+    tol = (1e-7 if is32 else 1e-10) if tol is None else tol
+    reg = (1e-6 if is32 else 1e-9) if reg is None else reg
+    sigma_max = 1e7 if is32 else 1e12
+    stat_tol = 1e-4 if is32 else 1e-8
     N, nx, nu = qp.horizon, qp.nx, qp.nu
     M = qp.C.shape[-2]
     nbx = len(IDXBX)
@@ -177,7 +188,7 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
 
         # ---- sigmas & condensed Hessian --------------------------------
         def sig(l, t):
-            return l / jnp.maximum(t, _T_FLOOR)
+            return jnp.clip(l / jnp.maximum(t, _T_FLOOR), 0.0, sigma_max)
 
         s_ul, s_uu = sig(st.l_ul, st.t_ul), sig(st.l_uu, st.t_uu)
         s_xl, s_xu = sig(st.l_xl, st.t_xl), sig(st.l_xu, st.t_xu)
@@ -289,21 +300,34 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         a_d = max_step(dual, tau_f)
 
         stat = jnp.maximum(jnp.max(jnp.abs(r_x[1:])), jnp.max(jnp.abs(r_u)))
-        converged = (mu < tol) & (stat < jnp.asarray(1e-8, dtype))
-        a_p = jnp.where(converged, 0.0, a_p)
-        a_d = jnp.where(converged, 0.0, a_d)
+        converged = (mu < tol) & (stat < jnp.asarray(stat_tol, dtype))
+        # safeguard: a non-finite direction freezes the iterate (masked
+        # divergence control; the batch keeps marching). The freeze is a
+        # select, not a zero step length — 0 * inf would manufacture NaNs.
+        finite = (jnp.isfinite(jnp.sum(Ddx)) & jnp.isfinite(jnp.sum(Ddu))
+                  & jnp.isfinite(jnp.sum(Ds)) & jnp.isfinite(a_p)
+                  & jnp.isfinite(a_d))
+        frozen = converged | ~finite
+
+        tiny = jnp.asarray(1e-30, dtype)
+
+        def upd(old, a, step, positive=False):
+            v = old + a * step
+            if positive:
+                v = jnp.maximum(v, tiny)
+            return jnp.where(frozen, old, v)
 
         new = _IpState(
-            dx=st.dx + a_p * Ddx,
-            du=st.du + a_p * Ddu,
-            s=st.s + a_p * Ds,
-            nu_dyn=st.nu_dyn + a_d * Dnu,
-            t_ul=st.t_ul + a_p * Dt_ul, l_ul=st.l_ul + a_d * Dl_ul,
-            t_uu=st.t_uu + a_p * Dt_uu, l_uu=st.l_uu + a_d * Dl_uu,
-            t_xl=st.t_xl + a_p * Dt_xl, l_xl=st.l_xl + a_d * Dl_xl,
-            t_xu=st.t_xu + a_p * Dt_xu, l_xu=st.l_xu + a_d * Dl_xu,
-            t_h=st.t_h + a_p * Dt_h, l_h=st.l_h + a_d * Dl_h,
-            l_s=st.l_s + a_d * Dl_s,
+            dx=upd(st.dx, a_p, Ddx),
+            du=upd(st.du, a_p, Ddu),
+            s=upd(st.s, a_p, Ds, True),
+            nu_dyn=upd(st.nu_dyn, a_d, Dnu),
+            t_ul=upd(st.t_ul, a_p, Dt_ul, True), l_ul=upd(st.l_ul, a_d, Dl_ul, True),
+            t_uu=upd(st.t_uu, a_p, Dt_uu, True), l_uu=upd(st.l_uu, a_d, Dl_uu, True),
+            t_xl=upd(st.t_xl, a_p, Dt_xl, True), l_xl=upd(st.l_xl, a_d, Dl_xl, True),
+            t_xu=upd(st.t_xu, a_p, Dt_xu, True), l_xu=upd(st.l_xu, a_d, Dl_xu, True),
+            t_h=upd(st.t_h, a_p, Dt_h, True), l_h=upd(st.l_h, a_d, Dl_h, True),
+            l_s=upd(st.l_s, a_d, Dl_s, True),
         )
         return new, (mu, stat, jnp.minimum(a_p, a_d), sig_c)
 

@@ -83,8 +83,8 @@ def init_loop_state(key, ctrl: RtiController, x_init, goal,
     new obstacles, cold-started solver, cleared metrics."""
     spec = ctrl.spec
     kobs, kloop = jax.random.split(key)
-    obst = generate_obstacles(kobs, spec, scenario, batch_shape)
     dtype = x_init.dtype
+    obst = generate_obstacles(kobs, spec, scenario, batch_shape, dtype=dtype)
 
     def one(x):
         return ctrl.cold_start(x)

@@ -45,7 +45,8 @@ class ObstacleState(NamedTuple):
     vel: jnp.ndarray
 
 
-def generate_obstacles(key, spec, scenario: str, batch_shape=()) -> ObstacleState:
+def generate_obstacles(key, spec, scenario: str, batch_shape=(),
+                       dtype=jnp.float32) -> ObstacleState:
     """Sample an obstacle world per ``obstacle_generator.py:8-28``.
 
     ``scenario`` is one of RANDOM / CENTER / EDGE. Positions for CENTER/EDGE
@@ -56,19 +57,19 @@ def generate_obstacles(key, spec, scenario: str, batch_shape=()) -> ObstacleStat
     shape = tuple(batch_shape) + (m,)
     lo, hi, _, _ = spec.obst_box
     if scenario == "RANDOM":
-        x = jax.random.uniform(kx, shape, minval=lo, maxval=hi)
-        y = jax.random.uniform(ky, shape, minval=lo, maxval=hi)
+        x = jax.random.uniform(kx, shape, minval=lo, maxval=hi, dtype=dtype)
+        y = jax.random.uniform(ky, shape, minval=lo, maxval=hi, dtype=dtype)
     elif scenario == "CENTER":
-        x = jnp.zeros(shape)
-        y = jnp.zeros(shape)
+        x = jnp.zeros(shape, dtype)
+        y = jnp.zeros(shape, dtype)
     elif scenario == "EDGE":
-        x = jnp.full(shape, 7.0)
-        y = jnp.full(shape, 7.0)
+        x = jnp.full(shape, 7.0, dtype)
+        y = jnp.full(shape, 7.0, dtype)
     else:
         raise ValueError(f"unknown scenario {scenario!r}")
     v = spec.v_max_obst
-    vx = jax.random.uniform(kvx, shape, minval=-v, maxval=v)
-    vy = jax.random.uniform(kvy, shape, minval=-v, maxval=v)
+    vx = jax.random.uniform(kvx, shape, minval=-v, maxval=v, dtype=dtype)
+    vy = jax.random.uniform(kvy, shape, minval=-v, maxval=v, dtype=dtype)
     return ObstacleState(pos=jnp.stack([x, y], -1), vel=jnp.stack([vx, vy], -1))
 
 

@@ -84,7 +84,7 @@ def test_noise_clamped_to_vmax():
 def test_predict_trajectory_matches_rollout():
     # noise-free prediction must equal actually rolling bounce_step
     key = jax.random.PRNGKey(3)
-    state = generate_obstacles(key, SPEC, "RANDOM")
+    state = generate_obstacles(key, SPEC, "RANDOM", dtype=jnp.float64)
     traj = predict_trajectory(state, SPEC, 20)
     assert traj.shape == (21, SPEC.n_obst, 2)
     s = state
