@@ -114,14 +114,18 @@ def init_loop_state(key, ctrl: RtiController, x_init, goal,
     )
 
 
-def make_tick(ctrl: RtiController, goal, params: CostParams,
-              random_move: bool = True):
-    """Build the single-scenario tick function (vmap for the batch)."""
+def make_parametric_tick(ctrl: RtiController, random_move: bool = True):
+    """Single-scenario tick taking (state, goal, params) as traced inputs.
+
+    ``goal`` being an argument (not a closure) is the ``set_subgoal``
+    interface (robot_ocp_problem.py:279-284): the RL layer retargets the
+    controller tick-by-tick. ``params`` as an argument enables batched
+    cost-weight sweeps / RL-tuned weights.
+    """
     spec, opts = ctrl.spec, ctrl.options
     n = spec.n_solv
-    dt = spec.tf / spec.n_solv
 
-    def tick(st: LoopState) -> LoopState:
+    def tick(st: LoopState, goal, params: CostParams) -> LoopState:
         # 1. obstacle forecast for the horizon (parameterize_model, :154-166)
         pred = predict_trajectory(
             st.obst, spec, n, compat_pred_bug=opts.compat_pred_bug)
@@ -160,6 +164,17 @@ def make_tick(ctrl: RtiController, goal, params: CostParams,
         return jax.tree.map(
             lambda old, upd: jnp.where(_mask(st.done, upd.ndim), old, upd),
             st, new)
+
+    return tick
+
+
+def make_tick(ctrl: RtiController, goal, params: CostParams,
+              random_move: bool = True):
+    """Fixed-goal tick (the plain closed loop; vmap for the batch)."""
+    ptick = make_parametric_tick(ctrl, random_move=random_move)
+
+    def tick(st: LoopState) -> LoopState:
+        return ptick(st, goal, params)
 
     return tick
 
