@@ -4,9 +4,11 @@ TPU-native replacement for HPIPM (reached by the reference through
 ``qp_solver='PARTIAL_CONDENSING_HPIPM'`` with ``qp_solver_iter_max=QP_ITER``,
 ``robot_ocp_problem.py:126,131``). Design points:
 
-- **Mehrotra predictor-corrector** with one block-tridiagonal Riccati
-  factorization per iteration, shared by the predictor and corrector
-  back-substitutions (``ops/riccati.py``).
+- **Mehrotra predictor-corrector** whose Newton systems are solved by a
+  block-tridiagonal Riccati sweep — either the pure-XLA scan
+  (``ops/riccati.py``) or the fused Pallas kernel
+  (``ops/riccati_pallas.py``, ``backend='pallas'``; ~40x faster at
+  production batch sizes).
 - **Soft (slacked) constraints eliminated stage-wise**: the reference's
   L1+L2 obstacle slacks (``robot_ocp_problem.py:106-122,145-152``) become,
   per interior-point iteration, a rank-M modification C' diag(sigma_eff) C of
@@ -19,15 +21,14 @@ TPU-native replacement for HPIPM (reached by the reference through
   analogue of HPIPM's ``iter_max``.
 - **Infeasible start**: inequality slacks are initialized at
   ``max(expr, t_min)`` and the residual terms carry any initial gap, so no
-  phase-1 is needed. Dynamics are kept exactly feasible by construction
-  (initial forward rollout + Newton steps that satisfy the linearized
-  dynamics), so the Riccati affine terms are the pure Newton residuals.
+  phase-1 is needed.
 
-Everything is written single-scenario and ``vmap``-ed by callers; per-scenario
-reductions (duality measure mu, step length alpha) become per-row reductions
-under vmap, which is exactly the masked-divergence-control the closed loop
-needs (reference rows that would hit acados status 4 instead keep iterating
-with a safeguarded step).
+The implementation is batch-generic: all ``qp`` leaves may carry one leading
+batch axis (the scenario axis), in which case the duality measure, step
+lengths, and convergence freezing are per scenario — the masked divergence
+control that replaces acados' status-4 reset path
+(robot_ocp_problem.py:203-205). Unbatched single-scenario calls and
+``vmap``-ed calls also work (both use the XLA Riccati path).
 """
 
 from __future__ import annotations
@@ -47,19 +48,19 @@ _ZL_FLOOR = 1e-6   # L2 slack-penalty floor: keeps zero-penalty soft rows
 
 
 class IpSolution(NamedTuple):
-    dx: jnp.ndarray        # (N+1, nx)
-    du: jnp.ndarray        # (N, nu)
-    s: jnp.ndarray         # (N+1, M) soft slacks
-    mu: jnp.ndarray        # () final duality measure
-    kappa: jnp.ndarray     # () objective normalization used internally
-    stat_res: jnp.ndarray  # () final stationarity residual (normalized cost)
+    dx: jnp.ndarray        # (..., N+1, nx)
+    du: jnp.ndarray        # (..., N, nu)
+    s: jnp.ndarray         # (..., N+1, M) soft slacks
+    mu: jnp.ndarray        # (...) final duality measure
+    kappa: jnp.ndarray     # (...) objective normalization used internally
+    stat_res: jnp.ndarray  # (...) final stationarity residual (normalized)
 
 
 class _IpState(NamedTuple):
     dx: jnp.ndarray
     du: jnp.ndarray
     s: jnp.ndarray
-    nu_dyn: jnp.ndarray    # (N, nx) dynamics multipliers
+    nu_dyn: jnp.ndarray    # (..., N, nx) dynamics multipliers
     t_ul: jnp.ndarray; l_ul: jnp.ndarray
     t_uu: jnp.ndarray; l_uu: jnp.ndarray
     t_xl: jnp.ndarray; l_xl: jnp.ndarray
@@ -81,78 +82,138 @@ def _sel_t(v, nx):
 
 def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
                  reg: float | None = None, tol: float | None = None,
-                 normalize: bool = True, debug: bool = False) -> IpSolution:
-    """Solve one scenario's OCP QP; ``vmap`` over a leading axis to batch.
+                 normalize: bool = True, backend: str = "xla",
+                 debug: bool = False) -> IpSolution:
+    """Solve OCP QPs; ``qp`` leaves may carry one leading batch axis.
 
     ``iters`` plays the role of the reference's QP_ITER
     (``world_specification.py:48``). Float32 (the TPU production dtype) is
     first-class: barrier terms are clamped (``sigma_max``), iterates are
     floored away from exact zero, and rows freeze once their duality measure
-    reaches the dtype's achievable tolerance — the masked-divergence
-    safeguard that replaces acados' status-4 reset path
-    (robot_ocp_problem.py:203-205).
+    reaches the dtype's achievable tolerance.
+
+    ``backend='pallas'`` routes the per-iteration Riccati solves through the
+    fused TPU kernel; requires exactly one batch axis and must not be under
+    ``vmap``.
     """
     dtype = qp.Q.dtype
     is32 = dtype == jnp.float32
-    # dtype-calibrated safeguards (values are in normalized-cost units)
     tol = (1e-7 if is32 else 1e-10) if tol is None else tol
     reg = (1e-6 if is32 else 1e-9) if reg is None else reg
     sigma_max = 1e7 if is32 else 1e12
     stat_tol = 1e-4 if is32 else 1e-8
-    N, nx, nu = qp.horizon, qp.nx, qp.nu
+    nx, nu = qp.A.shape[-1], qp.B.shape[-1]
+    N = qp.A.shape[-3]
     M = qp.C.shape[-2]
     nbx = len(IDXBX)
+    bnd = qp.A.ndim - 3            # number of leading batch axes (0 or 1)
+    if backend == "pallas" and bnd != 1:
+        raise ValueError("backend='pallas' needs exactly one batch axis")
+
+    # --- batch-generic helpers ------------------------------------------
+    def rsum(a):
+        return jnp.sum(a, axis=tuple(range(bnd, a.ndim)))
+
+    def rmax(a):
+        return jnp.max(a, axis=tuple(range(bnd, a.ndim)))
+
+    def rmin(a):
+        return jnp.min(a, axis=tuple(range(bnd, a.ndim)))
+
+    def bc(scalar, arr):
+        """Broadcast a (batch...) scalar against (batch..., ...) arr."""
+        return jnp.reshape(scalar, scalar.shape + (1,) * (arr.ndim - scalar.ndim))
+
+    def stg(a, sl):
+        """Slice along the stage axis (first non-batch axis)."""
+        return a[(slice(None),) * bnd + (sl,)]
+
+    def cat(parts):
+        return jnp.concatenate(parts, axis=bnd)
+
+    def diag_embed(v):
+        return v[..., :, None] * jnp.eye(v.shape[-1], dtype=v.dtype)
 
     if normalize:
         qp, kappa = normalize_cost(qp)
     else:
-        kappa = jnp.asarray(1.0, dtype)
+        kappa = jnp.ones(qp.A.shape[:bnd], dtype)
     Zl = jnp.maximum(qp.Zl, _ZL_FLOOR)
 
-    # --- initialization -------------------------------------------------
-    def rollout_dx0(_):
-        def fwd(dxk, inp):
-            Ak, ck = inp
-            nxt = Ak @ dxk + ck
-            return nxt, nxt
-        _, dxs = jax.lax.scan(fwd, qp.dx0, (qp.A, qp.c))
-        return jnp.concatenate([qp.dx0[None], dxs], axis=0)
+    # --- LQR backend -----------------------------------------------------
+    if backend == "pallas":
+        from doa_mpc_tpu.ops.riccati_pallas import riccati_solve_fused
 
-    dx = rollout_dx0(None)
-    du = jnp.zeros((N, nu), dtype)
+        def make_lqr(Qbar, Rbar):
+            def lqr(qbar, rbar, d):
+                return riccati_solve_fused(
+                    Qbar, Rbar, qp.S, qp.A, qp.B, qbar, rbar, d,
+                    jnp.zeros(qp.A.shape[:bnd] + (nx,), dtype), reg=reg)
+            return lqr
+    else:
+        def make_lqr(Qbar, Rbar):
+            if bnd == 0:
+                fac = riccati_factorize(Qbar, Rbar, qp.S, qp.A, qp.B, reg=reg)
+
+                def lqr(qbar, rbar, d):
+                    return riccati_solve(fac, qbar, rbar, d,
+                                         jnp.zeros((nx,), dtype))
+            else:
+                fac = jax.vmap(
+                    lambda Q_, R_, S_, A_, B_: riccati_factorize(
+                        Q_, R_, S_, A_, B_, reg=reg)
+                )(Qbar, Rbar, qp.S, qp.A, qp.B)
+
+                def lqr(qbar, rbar, d):
+                    return jax.vmap(riccati_solve)(
+                        fac, qbar, rbar, d,
+                        jnp.zeros(qp.A.shape[:bnd] + (nx,), dtype))
+            return lqr
+
+    # --- initialization -------------------------------------------------
+    A_s = jnp.moveaxis(qp.A, bnd, 0)
+    c_s = jnp.moveaxis(qp.c, bnd, 0)
+
+    def fwd(dxk, inp):
+        Ak, ck = inp
+        nxt = jnp.einsum("...ij,...j->...i", Ak, dxk) + ck
+        return nxt, nxt
+
+    _, dxs = jax.lax.scan(fwd, qp.dx0, (A_s, c_s))
+    dx = cat([qp.dx0[..., None, :], jnp.moveaxis(dxs, 0, bnd)])
+    du = jnp.zeros_like(qp.r)
 
     t_min = jnp.asarray(0.1, dtype)
-    e_ul = du - qp.lb_u
-    e_uu = qp.ub_u - du
-    e_xl = _sel(dx) - qp.lb_x
-    e_xu = qp.ub_x - _sel(dx)
-    g_h = qp.hval + jnp.einsum("kmi,ki->km", qp.C, dx)
+    g_h = qp.hval + jnp.einsum("...mi,...i->...m", qp.C, dx)
     s0 = jnp.maximum(t_min, t_min - g_h)
     t_h0 = g_h + s0
 
     mu0 = jnp.asarray(1.0, dtype)
+
     def init_pair(expr):
         t = jnp.maximum(expr, t_min)
         return t, mu0 / t
 
-    t_ul, l_ul = init_pair(e_ul)
-    t_uu, l_uu = init_pair(e_uu)
-    t_xl, l_xl = init_pair(e_xl)
-    t_xu, l_xu = init_pair(e_xu)
+    t_ul, l_ul = init_pair(du - qp.lb_u)
+    t_uu, l_uu = init_pair(qp.ub_u - du)
+    t_xl, l_xl = init_pair(_sel(dx) - qp.lb_x)
+    t_xu, l_xu = init_pair(qp.ub_x - _sel(dx))
     t_h = jnp.maximum(t_h0, t_min)
     l_h = mu0 / t_h
     l_s = mu0 / s0
 
     n_pairs = float(2 * N * nu + 2 * (N + 1) * nbx + 2 * (N + 1) * M)
 
-    state = _IpState(dx, du, s0, jnp.zeros((N, nx), dtype),
+    state = _IpState(dx, du, s0, jnp.zeros_like(qp.c),
                      t_ul, l_ul, t_uu, l_uu, t_xl, l_xl, t_xu, l_xu,
                      t_h, l_h, l_s)
 
     def compl_sum(st):
-        return (jnp.sum(st.t_ul * st.l_ul) + jnp.sum(st.t_uu * st.l_uu)
-                + jnp.sum(st.t_xl * st.l_xl) + jnp.sum(st.t_xu * st.l_xu)
-                + jnp.sum(st.t_h * st.l_h) + jnp.sum(st.s * st.l_s))
+        return (rsum(st.t_ul * st.l_ul) + rsum(st.t_uu * st.l_uu)
+                + rsum(st.t_xl * st.l_xl) + rsum(st.t_xu * st.l_xu)
+                + rsum(st.t_h * st.l_h) + rsum(st.s * st.l_s))
+
+    zero_x = jnp.zeros(qp.q.shape[:bnd] + (1, nx), dtype)
 
     def iteration(st: _IpState, _):
         # ---- residuals --------------------------------------------------
@@ -160,30 +221,26 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         r_uu = (qp.ub_u - st.du) - st.t_uu
         r_xl = (_sel(st.dx) - qp.lb_x) - st.t_xl
         r_xu = (qp.ub_x - _sel(st.dx)) - st.t_xu
-        g = qp.hval + jnp.einsum("kmi,ki->km", qp.C, st.dx)
+        g = qp.hval + jnp.einsum("...mi,...i->...m", qp.C, st.dx)
         r_h = (g + st.s) - st.t_h
         r_s = Zl * st.s + qp.zl - st.l_h - st.l_s
 
-        r_dyn = (st.dx[1:]
-                 - jnp.einsum("kij,kj->ki", qp.A, st.dx[:-1])
-                 - jnp.einsum("kij,kj->ki", qp.B, st.du) - qp.c)
+        dx_head = stg(st.dx, slice(None, -1))
+        dx_tail = stg(st.dx, slice(1, None))
+        r_dyn = (dx_tail
+                 - jnp.einsum("...ij,...j->...i", qp.A, dx_head)
+                 - jnp.einsum("...ij,...j->...i", qp.B, st.du) - qp.c)
 
-        nu_prev = jnp.concatenate(
-            [jnp.zeros((1, nx), dtype), st.nu_dyn], axis=0)      # nu_{k-1}
-        nu_next = jnp.concatenate(
-            [st.nu_dyn, jnp.zeros((1, nx), dtype)], axis=0)      # nu_k (0 at N)
-        Atnu = jnp.concatenate([
-            jnp.einsum("kji,kj->ki", qp.A, st.nu_dyn),
-            jnp.zeros((1, nx), dtype)], axis=0)
-        r_x = (jnp.einsum("kij,kj->ki", qp.Q, st.dx) + qp.q
-               + jnp.concatenate([jnp.einsum("kji,kj->ki", qp.S, st.du),
-                                  jnp.zeros((1, nx), dtype)], axis=0)
+        nu_prev = cat([zero_x, st.nu_dyn])                       # nu_{k-1}
+        Atnu = cat([jnp.einsum("...ji,...j->...i", qp.A, st.nu_dyn), zero_x])
+        r_x = (jnp.einsum("...ij,...j->...i", qp.Q, st.dx) + qp.q
+               + cat([jnp.einsum("...ji,...j->...i", qp.S, st.du), zero_x])
                + nu_prev - Atnu
                - _sel_t(st.l_xl - st.l_xu, nx)
-               - jnp.einsum("kmi,km->ki", qp.C, st.l_h))
-        r_u = (jnp.einsum("kij,kj->ki", qp.R, st.du) + qp.r
-               + jnp.einsum("kij,kj->ki", qp.S, st.dx[:-1])
-               - jnp.einsum("kij,ki->kj", qp.B, st.nu_dyn)
+               - jnp.einsum("...mi,...m->...i", qp.C, st.l_h))
+        r_u = (jnp.einsum("...ij,...j->...i", qp.R, st.du) + qp.r
+               + jnp.einsum("...ij,...j->...i", qp.S, dx_head)
+               - jnp.einsum("...ij,...i->...j", qp.B, st.nu_dyn)
                - (st.l_ul - st.l_uu))
 
         # ---- sigmas & condensed Hessian --------------------------------
@@ -197,11 +254,11 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         s_eff = s_h * (Zl + s_s) / zeta
 
         Qbar = (qp.Q
-                + jax.vmap(jnp.diag)(_sel_t(s_xl + s_xu, nx))
-                + jnp.einsum("kmi,km,kmj->kij", qp.C, s_eff, qp.C))
-        Rbar = qp.R + jax.vmap(jnp.diag)(s_ul + s_uu)
+                + diag_embed(_sel_t(s_xl + s_xu, nx))
+                + jnp.einsum("...mi,...m,...mj->...ij", qp.C, s_eff, qp.C))
+        Rbar = qp.R + diag_embed(s_ul + s_uu)
 
-        fac = riccati_factorize(Qbar, Rbar, qp.S, qp.A, qp.B, reg=reg)
+        lqr = make_lqr(Qbar, Rbar)
 
         mu = compl_sum(st) / n_pairs
 
@@ -211,15 +268,15 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
             qbar = (r_x
                     - _sel_t(beta_xl - s_xl * r_xl, nx)
                     + _sel_t(beta_xu - s_xu * r_xu, nx)
-                    - jnp.einsum("kmi,km->ki", qp.C, beta_hat))
+                    - jnp.einsum("...mi,...m->...i", qp.C, beta_hat))
             rbar = r_u - (beta_ul - s_ul * r_ul) + (beta_uu - s_uu * r_uu)
             # The LQR's costate IS the Newton increment Dnu: the Newton rows
             # Qbar*Ddx + S'*Ddu + Dnu_{k-1} - A'*Dnu_k = -qbar match the
             # LQR stationarity with multiplier nu~ = Dnu.
-            Ddx, Ddu, Dnu = riccati_solve(
-                fac, qbar, rbar, -r_dyn, jnp.zeros((nx,), dtype))
-            ds = (rho - s_h * jnp.einsum("kmi,ki->km", qp.C, Ddx)) / zeta
-            dt_h = jnp.einsum("kmi,ki->km", qp.C, Ddx) + ds + r_h
+            Ddx, Ddu, Dnu = lqr(qbar, rbar, -r_dyn)
+            CDdx = jnp.einsum("...mi,...i->...m", qp.C, Ddx)
+            ds = (rho - s_h * CDdx) / zeta
+            dt_h = CDdx + ds + r_h
             dl_h = beta_h - s_h * dt_h
             dl_s = beta_s - s_s * ds
             dt_ul = Ddu + r_ul
@@ -235,19 +292,19 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
                     dt_xu, dl_xu, dt_h, dl_h, dl_s)
 
         def max_step(vals, tau_f):
-            """Largest a in [0,1] with v + a*dv >= (1-tau_f)*v for all pairs.
+            """Largest a in [0,1] with v + a*dv >= (1-tau_f)*v per scenario.
 
             The division is guarded by substituting the denominator only on
             the unselected branch — clamping |dv| itself would silently cap
             the step for pairs whose v and dv are both legitimately tiny
             (e.g. multipliers of never-active BIG_BOUND rows, ~mu/1e6).
             """
-            a = jnp.asarray(1.0, dtype)
+            a = jnp.ones(qp.A.shape[:bnd], dtype)
             for v, dv in vals:
                 neg = dv < 0
                 denom = jnp.where(neg, -dv, 1.0)
                 ratio = jnp.where(neg, tau_f * v / denom, 2.0)
-                a = jnp.minimum(a, jnp.min(ratio))
+                a = jnp.minimum(a, rmin(ratio))
             return a
 
         # ---- predictor (affine scaling) --------------------------------
@@ -264,20 +321,22 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         one = jnp.asarray(1.0, dtype)
         ap_aff = max_step(prim_aff, one)
         ad_aff = max_step(dual_aff, one)
-        mu_aff = (
-            jnp.sum((st.t_ul + ap_aff * At_ul) * (st.l_ul + ad_aff * Al_ul))
-            + jnp.sum((st.t_uu + ap_aff * At_uu) * (st.l_uu + ad_aff * Al_uu))
-            + jnp.sum((st.t_xl + ap_aff * At_xl) * (st.l_xl + ad_aff * Al_xl))
-            + jnp.sum((st.t_xu + ap_aff * At_xu) * (st.l_xu + ad_aff * Al_xu))
-            + jnp.sum((st.t_h + ap_aff * At_h) * (st.l_h + ad_aff * Al_h))
-            + jnp.sum((st.s + ap_aff * As) * (st.l_s + ad_aff * Al_s))
-        ) / n_pairs
+
+        def compl_after(t, dt, l, dl):
+            return rsum((t + bc(ap_aff, t) * dt) * (l + bc(ad_aff, l) * dl))
+
+        mu_aff = (compl_after(st.t_ul, At_ul, st.l_ul, Al_ul)
+                  + compl_after(st.t_uu, At_uu, st.l_uu, Al_uu)
+                  + compl_after(st.t_xl, At_xl, st.l_xl, Al_xl)
+                  + compl_after(st.t_xu, At_xu, st.l_xu, Al_xu)
+                  + compl_after(st.t_h, At_h, st.l_h, Al_h)
+                  + compl_after(st.s, As, st.l_s, Al_s)) / n_pairs
         sig_c = jnp.clip((mu_aff / jnp.maximum(mu, _T_FLOOR)) ** 3, 0.0, 1.0)
         mu_t = sig_c * mu
 
         # ---- corrector --------------------------------------------------
         def beta_c(t, l, dt_a, dl_a):
-            return (mu_t - t * l - dt_a * dl_a) / jnp.maximum(t, _T_FLOOR)
+            return (bc(mu_t, t) - t * l - dt_a * dl_a) / jnp.maximum(t, _T_FLOOR)
 
         cor = directions(
             beta_c(st.t_ul, st.l_ul, At_ul, Al_ul),
@@ -299,23 +358,24 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         a_p = max_step(prim, tau_f)
         a_d = max_step(dual, tau_f)
 
-        stat = jnp.maximum(jnp.max(jnp.abs(r_x[1:])), jnp.max(jnp.abs(r_u)))
+        stat = jnp.maximum(rmax(jnp.abs(stg(r_x, slice(1, None)))),
+                           rmax(jnp.abs(r_u)))
         converged = (mu < tol) & (stat < jnp.asarray(stat_tol, dtype))
         # safeguard: a non-finite direction freezes the iterate (masked
         # divergence control; the batch keeps marching). The freeze is a
         # select, not a zero step length — 0 * inf would manufacture NaNs.
-        finite = (jnp.isfinite(jnp.sum(Ddx)) & jnp.isfinite(jnp.sum(Ddu))
-                  & jnp.isfinite(jnp.sum(Ds)) & jnp.isfinite(a_p)
+        finite = (jnp.isfinite(rsum(Ddx)) & jnp.isfinite(rsum(Ddu))
+                  & jnp.isfinite(rsum(Ds)) & jnp.isfinite(a_p)
                   & jnp.isfinite(a_d))
         frozen = converged | ~finite
 
         tiny = jnp.asarray(1e-30, dtype)
 
         def upd(old, a, step, positive=False):
-            v = old + a * step
+            v = old + bc(a, old) * step
             if positive:
                 v = jnp.maximum(v, tiny)
-            return jnp.where(frozen, old, v)
+            return jnp.where(bc(frozen, old), old, v)
 
         new = _IpState(
             dx=upd(st.dx, a_p, Ddx),

@@ -85,16 +85,23 @@ def normalize_cost(qp: OcpQp) -> tuple[OcpQp, jnp.ndarray]:
     minimizer unchanged (duals scale by kappa). Returns the scaled QP and
     kappa.
     """
-    cand = jnp.stack([
-        jnp.max(jnp.abs(jnp.diagonal(qp.Q, axis1=-2, axis2=-1))),
-        jnp.max(jnp.abs(jnp.diagonal(qp.R, axis1=-2, axis2=-1))),
-        jnp.max(qp.zl),
-        jnp.max(qp.Zl),
-        jnp.asarray(1.0, qp.Q.dtype),
-    ])
-    kappa = jnp.max(cand)
+    bnd = qp.A.ndim - 3            # leading batch axes (0 or 1)
+
+    def rmax(a):
+        return jnp.max(a, axis=tuple(range(bnd, a.ndim)))
+
+    def bc(s, a):
+        return jnp.reshape(s, s.shape + (1,) * (a.ndim - s.ndim))
+
+    kappa = jnp.maximum(
+        jnp.maximum(rmax(jnp.abs(jnp.diagonal(qp.Q, axis1=-2, axis2=-1))),
+                    rmax(jnp.abs(jnp.diagonal(qp.R, axis1=-2, axis2=-1)))),
+        jnp.maximum(jnp.maximum(rmax(qp.zl), rmax(qp.Zl)),
+                    jnp.ones(qp.A.shape[:bnd], qp.Q.dtype)))
     inv = 1.0 / kappa
     return qp._replace(
-        Q=qp.Q * inv, q=qp.q * inv, R=qp.R * inv, r=qp.r * inv, S=qp.S * inv,
-        zl=qp.zl * inv, Zl=qp.Zl * inv,
+        Q=qp.Q * bc(inv, qp.Q), q=qp.q * bc(inv, qp.q),
+        R=qp.R * bc(inv, qp.R), r=qp.r * bc(inv, qp.r),
+        S=qp.S * bc(inv, qp.S),
+        zl=qp.zl * bc(inv, qp.zl), Zl=qp.Zl * bc(inv, qp.Zl),
     ), kappa

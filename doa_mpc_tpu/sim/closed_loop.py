@@ -179,6 +179,99 @@ def make_tick(ctrl: RtiController, goal, params: CostParams,
     return tick
 
 
+def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
+                      random_move: bool = True, backend: str = "xla"):
+    """Natively-batched control tick with pluggable QP backend.
+
+    Unlike ``vmap(make_tick(...))`` this calls the interior-point solver on
+    the whole scenario batch at once, which is what lets
+    ``backend='pallas'`` route the Riccati sweeps through the fused TPU
+    kernel (``ops/riccati_pallas.py``). Semantics are identical to the
+    vmapped tick.
+    """
+    from doa_mpc_tpu.ops.ip_qp import solve_ocp_qp
+
+    spec, opts = ctrl.spec, ctrl.options
+    n = spec.n_solv
+
+    def tick(st: LoopState) -> LoopState:
+        # 1. obstacle forecast (vectorized over the batch; scan over steps)
+        pred = predict_trajectory(
+            st.obst, spec, n, compat_pred_bug=opts.compat_pred_bug)
+        pred = jnp.moveaxis(pred, 0, 1)           # (B, N+1, M, 2)
+
+        # 2. Gauss-Newton linearization + QP assembly per scenario
+        qp = jax.vmap(
+            lambda rti, x0, p: ctrl.build_qp(rti, x0, goal, p, params)
+        )(st.rti, st.x0, pred)
+
+        # 3. one batched interior-point solve (fused Riccati when 'pallas')
+        sol = solve_ocp_qp(qp, iters=opts.qp_iter, tau=opts.ip_tau,
+                           backend=backend)
+        rti_new = RtiState(x_traj=st.rti.x_traj + sol.dx,
+                           u_traj=st.rti.u_traj + sol.du)
+        u0 = rti_new.u_traj[:, 0]
+
+        # 4. plant step
+        x_new = ctrl.integrate(st.x0, u0)
+
+        # 5. noisy obstacle world step (per-row keys)
+        keys = jax.vmap(jax.random.split)(st.key)
+        key, sub = keys[:, 0], keys[:, 1]
+        obst_new = jax.vmap(
+            lambda k, p, v: obstacle_step(k, ObstacleState(p, v), spec,
+                                          random_move=random_move)
+        )(sub, st.obst.pos, st.obst.vel)
+
+        # 6. metrics (batched forms of robot_ocp_problem.py:213-250)
+        oob = (st.oob | (jnp.abs(x_new[:, 0]) > spec.x_max)
+               | (jnp.abs(x_new[:, 1]) > spec.y_max))
+        d = x_new[:, None, :2] - obst_new.pos
+        margin = jnp.min(jnp.linalg.norm(d, axis=-1)
+                         - (spec.r_obst + spec.r_robot), axis=-1)
+        min_margin = jnp.minimum(st.min_margin, margin)
+        dist = jnp.linalg.norm(x_new[:, :2] - goal, axis=-1)
+        reached = dist <= spec.tol
+        steps = st.steps + jnp.int32(~reached)
+
+        # 7. warm-start shift
+        rti_shifted = ctrl.shift(rti_new)
+
+        new = LoopState(
+            x0=x_new, rti=rti_shifted, obst=obst_new, key=key,
+            done=st.done | reached, reached=st.reached | reached,
+            oob=oob, min_margin=min_margin, dist=dist, steps=steps)
+
+        return jax.tree.map(
+            lambda old, upd: jnp.where(
+                jnp.reshape(st.done, st.done.shape + (1,) * (upd.ndim - 1)),
+                old, upd),
+            st, new)
+
+    return tick
+
+
+def make_batched_rollout(ctrl: RtiController, goal, params: CostParams,
+                         max_iter: int = 400, random_move: bool = True,
+                         backend: str = "xla", collect: bool = False):
+    """Scan the batched tick ``max_iter`` times."""
+    tick = make_batched_tick(ctrl, goal, params, random_move=random_move,
+                             backend=backend)
+
+    def rollout(st: LoopState):
+        def body(s, _):
+            s2 = tick(s)
+            out = (s2.x0, s2.obst.pos) if collect else None
+            return s2, out
+
+        final, traj = jax.lax.scan(body, st, None, length=max_iter)
+        if collect:
+            return final, traj
+        return final
+
+    return rollout
+
+
 def _mask(done, ndim):
     """Broadcast the scalar done flag over an array of rank ndim."""
     return jnp.reshape(done, (1,) * ndim) if ndim else done

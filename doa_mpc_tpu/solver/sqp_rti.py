@@ -78,10 +78,13 @@ class RtiController:
 
     def shift(self, state: RtiState) -> RtiState:
         """Warm-start shift (robot_ocp_problem.py:253-258): move stages one
-        left, duplicate terminal state, zero the last control."""
-        x = jnp.concatenate([state.x_traj[1:], state.x_traj[-1:]], axis=0)
+        left, duplicate terminal state, zero the last control. Batch-generic
+        (stage axis is -2)."""
+        x = jnp.concatenate(
+            [state.x_traj[..., 1:, :], state.x_traj[..., -1:, :]], axis=-2)
         u = jnp.concatenate(
-            [state.u_traj[1:], jnp.zeros_like(state.u_traj[:1])], axis=0)
+            [state.u_traj[..., 1:, :],
+             jnp.zeros_like(state.u_traj[..., :1, :])], axis=-2)
         return RtiState(x, u)
 
     def build_qp(self, state: RtiState, x0, goal, obst_traj,

@@ -114,6 +114,22 @@ def test_batched_rollout_matches_single():
         assert int(mb.steps) == int(ms.steps)
 
 
+def test_batched_tick_matches_vmapped_tick():
+    from doa_mpc_tpu.sim.closed_loop import make_batched_tick
+    ctrl, params, start, goal = _setup()
+    B = 4
+    st = init_loop_state(jax.random.PRNGKey(11), ctrl, start, goal, "RANDOM",
+                         batch_shape=(B,))
+    t_v = jax.jit(jax.vmap(make_tick(ctrl, goal, params)))
+    t_b = jax.jit(make_batched_tick(ctrl, goal, params, backend="xla"))
+    sv, sb = st, st
+    for _ in range(3):
+        sv = t_v(sv)
+        sb = t_b(sb)
+    for a, b in zip(jax.tree.leaves(sv), jax.tree.leaves(sb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-8)
+
+
 def test_tick_freezes_done_rows():
     ctrl, params, start, goal = _setup()
     st = init_loop_state(jax.random.PRNGKey(2), ctrl, start, goal)

@@ -174,6 +174,22 @@ def test_vmap_batching():
                                    atol=1e-9)
 
 
+def test_native_batch_axis_matches_vmap():
+    # the explicit batched path (one leading axis, per-row mu/alpha/freeze)
+    # must agree with vmapping the single-scenario solver
+    rng = np.random.default_rng(6)
+    qps = [_make_qp(rng, seed_scale=2.0) for _ in range(4)]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *qps)
+    sol_b = solve_ocp_qp(batched, iters=30)
+    sol_v = jax.vmap(lambda qp: solve_ocp_qp(qp, iters=30))(batched)
+    np.testing.assert_allclose(np.asarray(sol_b.du), np.asarray(sol_v.du),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol_b.dx), np.asarray(sol_v.dx),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol_b.mu), np.asarray(sol_v.mu),
+                               rtol=1e-6)
+
+
 def test_converges_small_mu():
     rng = np.random.default_rng(5)
     qp = _make_qp(rng, seed_scale=2.0)
