@@ -48,8 +48,13 @@ def shard_leading_axis(tree, mesh: Mesh):
     return jax.tree.map(put, tree)
 
 
-def make_sharded_rollout(rollout, mesh: Mesh):
-    """Wrap a single-scenario ``rollout`` into a mesh-sharded batched run.
+def make_sharded_rollout(batched_rollout, mesh: Mesh):
+    """Wrap a *batched* rollout into a mesh-sharded run.
+
+    ``batched_rollout`` operates on a batch of scenarios (e.g.
+    ``sim.closed_loop.make_batched_rollout`` — which may use the fused
+    Pallas QP backend — or ``jax.vmap`` of a single-scenario rollout).
+    Each device runs it on its local scenario shard.
 
     Returns ``fn(batched_state) -> (final_state, global_stats)`` where
     ``global_stats`` is a dict of psum-reduced Monte-Carlo aggregates
@@ -60,7 +65,7 @@ def make_sharded_rollout(rollout, mesh: Mesh):
     @partial(shard_map, mesh=mesh, in_specs=(P("data"),),
              out_specs=(P("data"), P()), check_vma=False)
     def fn(batched_state):
-        final = jax.vmap(rollout)(batched_state)
+        final = batched_rollout(batched_state)
         m: LoopMetrics = jax.vmap(metrics_of)(final)
         local_n = m.reached.shape[0]
         stats = {

@@ -45,13 +45,17 @@ def run_scenario_batch(spec: WorldSpec, opts: SolverOptions, scenario: str,
                        n_runs: int = 100, max_iter: int = 400,
                        seed: int = 0, dtype=jnp.float32,
                        params: CostParams | None = None,
-                       mesh=None, start_goal_margin: float = 1.0):
+                       mesh=None, start_goal_margin: float = 1.0,
+                       backend: str = "xla"):
     """Run ``n_runs`` seeded scenarios in one batched rollout.
 
     Start/goal mirror experiments.py:20: start (X_MIN+1, Y_MIN+1, pi/4, 0, 0),
     goal (X_MAX-1, Y_MAX-1). Returns a (n_runs, 6) metrics array in the
-    reference CSV column order.
+    reference CSV column order. ``backend='pallas'`` uses the fused TPU
+    Riccati kernel inside the QP solves.
     """
+    from doa_mpc_tpu.sim.closed_loop import make_batched_rollout
+
     ctrl = make_rti_controller(spec, opts, dtype=dtype)
     params = params or default_cost_params(spec, dtype=dtype)
     start, goal = robot_start_goal(spec, margin=start_goal_margin)
@@ -59,7 +63,8 @@ def run_scenario_batch(spec: WorldSpec, opts: SolverOptions, scenario: str,
 
     state = init_loop_state(jax.random.PRNGKey(seed), ctrl, start, goal,
                             scenario, batch_shape=(n_runs,))
-    rollout = make_rollout(ctrl, goal, params, max_iter=max_iter)
+    rollout = make_batched_rollout(ctrl, goal, params, max_iter=max_iter,
+                                   backend=backend)
 
     if mesh is not None:
         from doa_mpc_tpu.parallel.mesh import (
@@ -69,7 +74,7 @@ def run_scenario_batch(spec: WorldSpec, opts: SolverOptions, scenario: str,
         fn = jax.jit(make_sharded_rollout(rollout, mesh))
         final, _stats = fn(state)
     else:
-        final = jax.jit(jax.vmap(rollout))(state)
+        final = jax.jit(rollout)(state)
 
     m = jax.vmap(metrics_of)(final)
     data = np.stack([
@@ -88,7 +93,8 @@ def run_experiment(spec: WorldSpec | None = None,
                    scenarios: Sequence[str] = ("RANDOM", "EDGE"),
                    n_runs: int = 100, max_iter: int = 400,
                    out_dir: str = "test_data/new",
-                   dtype=jnp.float32, mesh=None, verbose: bool = True):
+                   dtype=jnp.float32, mesh=None, verbose: bool = True,
+                   backend: str = "xla"):
     """The experiments.py:12-46 driver: per scenario, run the seeded batch
     and persist CSV + spec JSON with the reference's naming convention."""
     spec = spec or WorldSpec()
@@ -100,7 +106,8 @@ def run_experiment(spec: WorldSpec | None = None,
             print(f"{s}: solving {n_runs} scenarios (N={spec.n_solv}, "
                   f"M={spec.n_obst}, qp_iter={opts.qp_iter})")
         data = run_scenario_batch(spec, opts, s, n_runs=n_runs,
-                                  max_iter=max_iter, dtype=dtype, mesh=mesh)
+                                  max_iter=max_iter, dtype=dtype, mesh=mesh,
+                                  backend=backend)
         stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
         csv_path = os.path.join(out_dir, f"{stamp}_experiment_data.csv")
         np.savetxt(csv_path, data, delimiter=";")

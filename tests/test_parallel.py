@@ -41,7 +41,7 @@ def test_sharded_rollout_matches_unsharded():
 
     mesh = make_data_mesh()
     st_sharded = shard_leading_axis(st, mesh)
-    fn = jax.jit(make_sharded_rollout(rollout, mesh))
+    fn = jax.jit(make_sharded_rollout(jax.vmap(rollout), mesh))
     final, stats = fn(st_sharded)
     m = jax.vmap(metrics_of)(final)
 
