@@ -15,6 +15,13 @@ Layout: batch-last, identical to ``ops/riccati_pallas.py`` — operands are
 element a ``(TILE,)`` vector, and all per-scenario reductions (duality
 measure, step lengths) lane-wise vector min/sum — no cross-lane traffic.
 
+VMEM discipline: every loose SSA vector occupies a padded (8, 128) register
+tile, so holding whole-horizon quantities as Python lists blows the 16 MB
+scoped-VMEM budget. All values that cross a stage-loop boundary therefore
+live in dense VMEM *scratch arrays* (residuals, Riccati factors, affine and
+corrector deltas); the kernel proceeds in stage-local passes whose live set
+is O(stage), not O(horizon).
+
 Semantics track ``ops/ip_qp.solve_ocp_qp`` line for line (same elimination
 identities, same safeguards); the equivalence test runs both at f32.
 """
@@ -55,141 +62,128 @@ def _ip_iteration_kernel(nx, nu, N, M, nbx, reg, tau, tol, stat_tol,
                          txu_o, lxu_o, th_o, lh_o, ls_o,
                          mu_o, stat_o,
                          # ---- scratch ----
-                         P_s, K_s, L_s):
+                         P_s, K_s, L_s, KFF, PN,
+                         RX, RU, RUL, RUU, RXL, RXU, RH, RS,
+                         ATU, ALU, ATV, ALV, AXL, ALXL, AXU, ALXU,
+                         ATH, ALH, AS_, ALS,
+                         DDX, DDU, DNU, DS2,
+                         CTU, CLU, CTV, CLV, CXL, CLXL, CXU, CLXU,
+                         CTH, CLH, CLS):
     idxbx = list(IDXBX)
     f32max = 3.0e38
 
-    # ================= load state (lists of (TILE,) vectors) ============
-    dx = [_vec(dx_i, k, nx) for k in range(N + 1)]
-    du = [_vec(du_i, k, nu) for k in range(N)]
-    s = [_vec(s_i, k, M) for k in range(N + 1)]
-    nu_d = [_vec(nu_i, k, nx) for k in range(N)]
-    t_ul = [_vec(tul_i, k, nu) for k in range(N)]
-    l_ul = [_vec(lul_i, k, nu) for k in range(N)]
-    t_uu = [_vec(tuu_i, k, nu) for k in range(N)]
-    l_uu = [_vec(luu_i, k, nu) for k in range(N)]
-    t_xl = [_vec(txl_i, k, nbx) for k in range(N + 1)]
-    l_xl = [_vec(lxl_i, k, nbx) for k in range(N + 1)]
-    t_xu = [_vec(txu_i, k, nbx) for k in range(N + 1)]
-    l_xu = [_vec(lxu_i, k, nbx) for k in range(N + 1)]
-    t_h = [_vec(th_i, k, M) for k in range(N + 1)]
-    l_h = [_vec(lh_i, k, M) for k in range(N + 1)]
-    l_s = [_vec(ls_i, k, M) for k in range(N + 1)]
+    def Zl_at(k):
+        return [jnp.maximum(Zl_ref[k, m], _ZL_FLOOR) for m in range(M)]
 
-    Zl = [[jnp.maximum(Zl_ref[k, m], _ZL_FLOOR) for m in range(M)]
-          for k in range(N + 1)]
-    zl = [[zl_ref[k, m] for m in range(M)] for k in range(N + 1)]
-
-    # ================= residuals ========================================
-    r_ul, r_uu, r_u = [], [], []
-    for k in range(N):
-        lbu = _vec(lbu_ref, k, nu)
-        ubu = _vec(ubu_ref, k, nu)
-        r_ul.append([du[k][i] - lbu[i] - t_ul[k][i] for i in range(nu)])
-        r_uu.append([ubu[i] - du[k][i] - t_uu[k][i] for i in range(nu)])
-    r_xl, r_xu = [], []
-    for k in range(N + 1):
-        lbx = _vec(lbx_ref, k, nbx)
-        ubx = _vec(ubx_ref, k, nbx)
-        r_xl.append([dx[k][idxbx[i]] - lbx[i] - t_xl[k][i]
-                     for i in range(nbx)])
-        r_xu.append([ubx[i] - dx[k][idxbx[i]] - t_xu[k][i]
-                     for i in range(nbx)])
-    g_h, r_h, r_s = [], [], []
-    Cs = [_mat(C_ref, k, M, nx) for k in range(N + 1)]
-    for k in range(N + 1):
-        hv = _vec(h_ref, k, M)
-        g = _vadd(hv, _mv(Cs[k], dx[k]))
-        g_h.append(g)
-        r_h.append([g[m] + s[k][m] - t_h[k][m] for m in range(M)])
-        r_s.append([Zl[k][m] * s[k][m] + zl[k][m] - l_h[k][m] - l_s[k][m]
-                    for m in range(M)])
-
-    r_dyn = []
-    As = [_mat(A_ref, k, nx, nx) for k in range(N)]
-    Bs = [_mat(B_ref, k, nx, nu) for k in range(N)]
-    for k in range(N):
-        ck = _vec(c_ref, k, nx)
-        Ax = _mv(As[k], dx[k])
-        Bu = _mv(Bs[k], du[k])
-        r_dyn.append([dx[k + 1][i] - Ax[i] - Bu[i] - ck[i]
-                      for i in range(nx)])
-
-    # stationarity residuals
-    r_x = []
-    for k in range(N + 1):
-        Qk = _mat(Q_ref, k, nx, nx)
-        qk = _vec(q_ref, k, nx)
-        acc = _vadd(_mv(Qk, dx[k]), qk)
-        if k < N:
-            Sk = _mat(S_ref, k, nu, nx)
-            acc = _vadd(acc, _mv(_mt(Sk), du[k]))
-            Atn = _mv(_mt(As[k]), nu_d[k])
-            acc = [acc[i] - Atn[i] for i in range(nx)]
-        if k >= 1:
-            acc = _vadd(acc, nu_d[k - 1])
-        for i in range(nbx):
-            acc[idxbx[i]] = acc[idxbx[i]] - (l_xl[k][i] - l_xu[k][i])
-        Ctl = _mv(_mt(Cs[k]), l_h[k])
-        r_x.append([acc[i] - Ctl[i] for i in range(nx)])
-    r_u = []
-    for k in range(N):
-        Rk = _mat(R_ref, k, nu, nu)
-        Sk = _mat(S_ref, k, nu, nx)
-        rk = _vec(r_ref, k, nu)
-        acc = _vadd(_vadd(_mv(Rk, du[k]), rk), _mv(Sk, dx[k]))
-        Btn = _mv(_mt(Bs[k]), nu_d[k])
-        r_u.append([acc[i] - Btn[i] - (l_ul[k][i] - l_uu[k][i])
-                    for i in range(nu)])
-
-    # ================= sigmas + condensed Hessians ======================
     def sig(l, t):
         return jnp.clip(l / jnp.maximum(t, _T_FLOOR), 0.0, sigma_max)
 
-    s_ul = [[sig(l_ul[k][i], t_ul[k][i]) for i in range(nu)] for k in range(N)]
-    s_uu = [[sig(l_uu[k][i], t_uu[k][i]) for i in range(nu)] for k in range(N)]
-    s_xl = [[sig(l_xl[k][i], t_xl[k][i]) for i in range(nbx)]
-            for k in range(N + 1)]
-    s_xu = [[sig(l_xu[k][i], t_xu[k][i]) for i in range(nbx)]
-            for k in range(N + 1)]
-    s_h = [[sig(l_h[k][m], t_h[k][m]) for m in range(M)] for k in range(N + 1)]
-    s_s = [[sig(l_s[k][m], s[k][m]) for m in range(M)] for k in range(N + 1)]
-    zeta = [[Zl[k][m] + s_h[k][m] + s_s[k][m] for m in range(M)]
-            for k in range(N + 1)]
-    s_eff = [[s_h[k][m] * (Zl[k][m] + s_s[k][m]) / zeta[k][m]
-              for m in range(M)] for k in range(N + 1)]
+    def sigmas_x(k):
+        sxl = [sig(lxl_i[k, i], txl_i[k, i]) for i in range(nbx)]
+        sxu = [sig(lxu_i[k, i], txu_i[k, i]) for i in range(nbx)]
+        return sxl, sxu
 
-    Qbar, Rbar = [], []
+    def sigmas_u(k):
+        sul = [sig(lul_i[k, i], tul_i[k, i]) for i in range(nu)]
+        suu = [sig(luu_i[k, i], tuu_i[k, i]) for i in range(nu)]
+        return sul, suu
+
+    def sigmas_h(k):
+        sh = [sig(lh_i[k, m], th_i[k, m]) for m in range(M)]
+        ss = [sig(ls_i[k, m], s_i[k, m]) for m in range(M)]
+        Zk = Zl_at(k)
+        zeta = [Zk[m] + sh[m] + ss[m] for m in range(M)]
+        seff = [sh[m] * (Zk[m] + ss[m]) / zeta[m] for m in range(M)]
+        return sh, ss, zeta, seff
+
+    # ================= PHASE 0: residuals -> scratch ====================
+    mu = jnp.zeros_like(dx_i[0, 0])
+    stat = jnp.zeros_like(mu)
     for k in range(N + 1):
-        Qk = _mat(Q_ref, k, nx, nx)
+        dxk = _vec(dx_i, k, nx)
+        Ck = _mat(C_ref, k, M, nx)
+        # x-box residuals + complementarity
         for i in range(nbx):
-            Qk[idxbx[i]][idxbx[i]] = (Qk[idxbx[i]][idxbx[i]]
-                                      + s_xl[k][i] + s_xu[k][i])
-        # C' diag(s_eff) C
+            RXL[k, i] = dxk[idxbx[i]] - lbx_ref[k, i] - txl_i[k, i]
+            RXU[k, i] = ubx_ref[k, i] - dxk[idxbx[i]] - txu_i[k, i]
+            mu = mu + txl_i[k, i] * lxl_i[k, i] + txu_i[k, i] * lxu_i[k, i]
+        # soft constraint residuals
+        Cdx = _mv(Ck, dxk)
+        Zk = Zl_at(k)
+        for m in range(M):
+            g = h_ref[k, m] + Cdx[m]
+            RH[k, m] = g + s_i[k, m] - th_i[k, m]
+            RS[k, m] = (Zk[m] * s_i[k, m] + zl_ref[k, m]
+                        - lh_i[k, m] - ls_i[k, m])
+            mu = mu + th_i[k, m] * lh_i[k, m] + s_i[k, m] * ls_i[k, m]
+        # stationarity wrt x
+        Qk = _mat(Q_ref, k, nx, nx)
+        acc = _vadd(_mv(Qk, dxk), _vec(q_ref, k, nx))
+        if k < N:
+            Sk = _mat(S_ref, k, nu, nx)
+            acc = _vadd(acc, _mv(_mt(Sk), _vec(du_i, k, nu)))
+            Ak = _mat(A_ref, k, nx, nx)
+            Atn = _mv(_mt(Ak), _vec(nu_i, k, nx))
+            acc = [acc[i] - Atn[i] for i in range(nx)]
+        if k >= 1:
+            acc = _vadd(acc, _vec(nu_i, k - 1, nx))
+        for i in range(nbx):
+            acc[idxbx[i]] = acc[idxbx[i]] - (lxl_i[k, i] - lxu_i[k, i])
+        Ctl = _mv(_mt(Ck), _vec(lh_i, k, M))
+        for i in range(nx):
+            RX[k, i] = acc[i] - Ctl[i]
+            if k >= 1:
+                stat = jnp.maximum(stat, jnp.abs(acc[i] - Ctl[i]))
+    for k in range(N):
+        duk = _vec(du_i, k, nu)
+        for i in range(nu):
+            RUL[k, i] = duk[i] - lbu_ref[k, i] - tul_i[k, i]
+            RUU[k, i] = ubu_ref[k, i] - duk[i] - tuu_i[k, i]
+            mu = mu + tul_i[k, i] * lul_i[k, i] + tuu_i[k, i] * luu_i[k, i]
+        Rk = _mat(R_ref, k, nu, nu)
+        Sk = _mat(S_ref, k, nu, nx)
+        Bk = _mat(B_ref, k, nx, nu)
+        acc = _vadd(_vadd(_mv(Rk, duk), _vec(r_ref, k, nu)),
+                    _mv(Sk, _vec(dx_i, k, nx)))
+        Btn = _mv(_mt(Bk), _vec(nu_i, k, nx))
+        for i in range(nu):
+            RU[k, i] = acc[i] - Btn[i] - (lul_i[k, i] - luu_i[k, i])
+            stat = jnp.maximum(stat, jnp.abs(RU[k, i]))
+    mu = mu / n_pairs
+
+    # ================= PHASE 1: factorization ===========================
+    # P_N = Qbar_N computed inline; P carried as stage-local live matrix.
+    def Qbar_at(k):
+        Qk = _mat(Q_ref, k, nx, nx)
+        sxl, sxu = sigmas_x(k)
+        for i in range(nbx):
+            Qk[idxbx[i]][idxbx[i]] = Qk[idxbx[i]][idxbx[i]] + sxl[i] + sxu[i]
+        _, _, _, seff = sigmas_h(k)
+        Ck = _mat(C_ref, k, M, nx)
         for i in range(nx):
             for j in range(i, nx):
                 acc = Qk[i][j]
                 for m in range(M):
-                    acc = acc + Cs[k][m][i] * s_eff[k][m] * Cs[k][m][j]
+                    acc = acc + Ck[m][i] * seff[m] * Ck[m][j]
                 Qk[i][j] = acc
                 if j != i:
                     Qk[j][i] = acc
-        Qbar.append(Qk)
-    for k in range(N):
-        Rk = _mat(R_ref, k, nu, nu)
-        for i in range(nu):
-            Rk[i][i] = Rk[i][i] + s_ul[k][i] + s_uu[k][i]
-        Rbar.append(Rk)
+        return Qk
 
-    # ================= Riccati factorization (shared) ===================
-    P = Qbar[N]
+    P = Qbar_at(N)
     for k in range(N - 1, -1, -1):
-        _store_mat(P_s, k, P)                      # P_{k+1}
-        PB = _mm(P, Bs[k])
-        PA = _mm(P, As[k])
-        BT = _mt(Bs[k])
+        _store_mat(P_s, k, P)
+        Ak = _mat(A_ref, k, nx, nx)
+        Bk = _mat(B_ref, k, nx, nu)
+        BT = _mt(Bk)
+        PB = _mm(P, Bk)
+        PA = _mm(P, Ak)
+        Rk = _mat(R_ref, k, nu, nu)
+        sul, suu = sigmas_u(k)
+        for i in range(nu):
+            Rk[i][i] = Rk[i][i] + sul[i] + suu[i]
+        Huu = _madd(Rk, _mm(BT, PB))
         Sk = _mat(S_ref, k, nu, nx)
-        Huu = _madd(Rbar[k], _mm(BT, PB))
         Hux = _madd(Sk, _mm(BT, PA))
         L = _chol2(Huu, reg)
         L_s[k, 0] = L[0]
@@ -201,241 +195,225 @@ def _ip_iteration_kernel(nx, nu, N, M, nbx, reg, tau, tol, stat_tol,
             Kk[0][j] = -col[0]
             Kk[1][j] = -col[1]
         _store_mat(K_s, k, Kk)
-        AT = _mt(As[k])
-        Pk = _madd(Qbar[k], _madd(_mm(AT, PA), _mm(_mt(Hux), Kk)))
+        AT = _mt(Ak)
+        Pk = _madd(Qbar_at(k), _madd(_mm(AT, PA), _mm(_mt(Hux), Kk)))
         P = [[0.5 * (Pk[i][j] + Pk[j][i]) for j in range(nx)]
              for i in range(nx)]
 
-    # ================= direction computation (two RHS) ==================
-    def directions(beta):
-        """beta = dict of per-group beta lists; returns all deltas."""
-        b_ul, b_uu, b_xl, b_xu, b_h, b_s = (
-            beta["ul"], beta["uu"], beta["xl"], beta["xu"], beta["h"],
-            beta["s"])
-        rho, beta_hat = [], []
-        for k in range(N + 1):
-            rho.append([
-                -r_s[k][m] + b_h[k][m] + b_s[k][m] - s_h[k][m] * r_h[k][m]
-                for m in range(M)])
-            beta_hat.append([
-                b_h[k][m] - s_h[k][m] * r_h[k][m]
-                - s_h[k][m] * rho[k][m] / zeta[k][m]
-                for m in range(M)])
-        # qbar / rbar
-        qbar, rbar = [], []
-        for k in range(N + 1):
-            acc = list(r_x[k])
-            for i in range(nbx):
-                acc[idxbx[i]] = (acc[idxbx[i]]
-                                 - (b_xl[k][i] - s_xl[k][i] * r_xl[k][i])
-                                 + (b_xu[k][i] - s_xu[k][i] * r_xu[k][i]))
-            Ctb = _mv(_mt(Cs[k]), beta_hat[k])
-            qbar.append([acc[i] - Ctb[i] for i in range(nx)])
-        for k in range(N):
-            rbar.append([
-                r_u[k][i] - (b_ul[k][i] - s_ul[k][i] * r_ul[k][i])
-                + (b_uu[k][i] - s_uu[k][i] * r_uu[k][i]) for i in range(nu)])
-        d = [[-r_dyn[k][i] for i in range(nx)] for k in range(N)]
+    # ================= direction machinery ==============================
+    def betas_at(k, corrector, mu_t):
+        """Per-stage beta lists for every group (predictor: -lambda)."""
+        if not corrector:
+            b_ul = [-lul_i[k, i] for i in range(nu)] if k < N else None
+            b_uu = [-luu_i[k, i] for i in range(nu)] if k < N else None
+            b_xl = [-lxl_i[k, i] for i in range(nbx)]
+            b_xu = [-lxu_i[k, i] for i in range(nbx)]
+            b_h = [-lh_i[k, m] for m in range(M)]
+            b_s = [-ls_i[k, m] for m in range(M)]
+        else:
+            def bc2(t, l, dt_a, dl_a):
+                return (mu_t - t * l - dt_a * dl_a) / jnp.maximum(t, _T_FLOOR)
 
-        # backward gradient pass (reuse stored factors)
-        p = qbar[N]
-        kffs = [None] * N
-        pns = [None] * N
+            b_ul = ([bc2(tul_i[k, i], lul_i[k, i], ATU[k, i], ALU[k, i])
+                     for i in range(nu)] if k < N else None)
+            b_uu = ([bc2(tuu_i[k, i], luu_i[k, i], ATV[k, i], ALV[k, i])
+                     for i in range(nu)] if k < N else None)
+            b_xl = [bc2(txl_i[k, i], lxl_i[k, i], AXL[k, i], ALXL[k, i])
+                    for i in range(nbx)]
+            b_xu = [bc2(txu_i[k, i], lxu_i[k, i], AXU[k, i], ALXU[k, i])
+                    for i in range(nbx)]
+            b_h = [bc2(th_i[k, m], lh_i[k, m], ATH[k, m], ALH[k, m])
+                   for m in range(M)]
+            b_s = [bc2(s_i[k, m], ls_i[k, m], AS_[k, m], ALS[k, m])
+                   for m in range(M)]
+        return b_ul, b_uu, b_xl, b_xu, b_h, b_s
+
+    def qbar_at(k, corrector, mu_t):
+        b_ul, b_uu, b_xl, b_xu, b_h, b_s = betas_at(k, corrector, mu_t)
+        sxl, sxu = sigmas_x(k)
+        sh, ss, zeta, _ = sigmas_h(k)
+        acc = [RX[k, i] for i in range(nx)]
+        for i in range(nbx):
+            acc[idxbx[i]] = (acc[idxbx[i]]
+                             - (b_xl[i] - sxl[i] * RXL[k, i])
+                             + (b_xu[i] - sxu[i] * RXU[k, i]))
+        Ck = _mat(C_ref, k, M, nx)
+        bh_hat = []
+        for m in range(M):
+            rho = (-RS[k, m] + b_h[m] + b_s[m] - sh[m] * RH[k, m])
+            bh_hat.append(b_h[m] - sh[m] * RH[k, m] - sh[m] * rho / zeta[m])
+        Ctb = _mv(_mt(Ck), bh_hat)
+        return [acc[i] - Ctb[i] for i in range(nx)]
+
+    def rbar_at(k, corrector, mu_t):
+        b_ul, b_uu, _, _, _, _ = betas_at(k, corrector, mu_t)
+        sul, suu = sigmas_u(k)
+        return [RU[k, i] - (b_ul[i] - sul[i] * RUL[k, i])
+                + (b_uu[i] - suu[i] * RUU[k, i]) for i in range(nu)]
+
+    def direction_pass(corrector, mu_t=None):
+        """Backward gradient pass + forward rollout + recovery.
+
+        Writes per-pair deltas into the aff (A*) or corrector (C*) scratch
+        arrays; corrector also stores DDX/DDU/DNU/DS2 for the update pass.
+        Returns the (a_prim_raw, a_dual_raw) step bounds (tau applied by
+        caller) plus, for the corrector, a finiteness accumulator.
+        """
+        T = (CTU, CLU, CTV, CLV, CXL, CLXL, CXU, CLXU, CTH, CLH, CLS) \
+            if corrector else (ATU, ALU, ATV, ALV, AXL, ALXL, AXU, ALXU,
+                               ATH, ALH, ALS)
+        (tTU, tLU, tTV, tLV, tXL, tLXL, tXU, tLXU, tTH, tLH, tLS) = T
+
+        # backward
+        p = qbar_at(N, corrector, mu_t)
         for k in range(N - 1, -1, -1):
-            pns[k] = p
+            _store_vec(PN, k, p)
             Pk1 = _mat(P_s, k, nx, nx)
             L = (L_s[k, 0], L_s[k, 1], L_s[k, 2])
             Kk = _mat(K_s, k, nu, nx)
-            Pd_p = _vadd(_mv(Pk1, d[k]), p)
-            BT = _mt(Bs[k])
-            m_v = _vadd(rbar[k], _mv(BT, Pd_p))
-            kffs[k] = [-v for v in _chol2_solve(L, m_v)]
-            AT = _mt(As[k])
-            p = _vadd(qbar[k], _vadd(_mv(AT, Pd_p), _mv(_mt(Kk), m_v)))
+            ck = _vec(c_ref, k, nx)
+            # d_k = -r_dyn_k; r_dyn recomputed here (not stored):
+            Ak = _mat(A_ref, k, nx, nx)
+            Bk = _mat(B_ref, k, nx, nu)
+            Ax = _mv(Ak, _vec(dx_i, k, nx))
+            Bu = _mv(Bk, _vec(du_i, k, nu))
+            d = [-(dx_i[k + 1, i] - Ax[i] - Bu[i] - ck[i]) for i in range(nx)]
+            Pd_p = _vadd(_mv(Pk1, d), p)
+            BT = _mt(Bk)
+            m_v = _vadd(rbar_at(k, corrector, mu_t), _mv(BT, Pd_p))
+            kff = [-v for v in _chol2_solve(L, m_v)]
+            _store_vec(KFF, k, kff)
+            AT = _mt(Ak)
+            p = _vadd(qbar_at(k, corrector, mu_t),
+                      _vadd(_mv(AT, Pd_p), _mv(_mt(Kk), m_v)))
 
-        # forward rollout
-        Ddx = [[jnp.zeros_like(dx[0][0])] * nx]
-        Ddu, Dnu = [], []
-        xk = Ddx[0]
-        for k in range(N):
-            Kk = _mat(K_s, k, nu, nx)
-            uk = _vadd(_mv(Kk, xk), kffs[k])
-            Ddu.append(uk)
-            xk = _vadd(_vadd(_mv(As[k], xk), _mv(Bs[k], uk)), d[k])
-            Ddx.append(xk)
-            Pk1 = _mat(P_s, k, nx, nx)
-            Px = _mv(Pk1, xk)
-            Dnu.append([-(Px[i] + pns[k][i]) for i in range(nx)])
+        # forward + recovery. The step-bound accumulators hold the RAW
+        # min ratio (sentinel 2.0); the caller applies min(1, tau * raw) so
+        # predictor (tau=1) and corrector (tau=0.99) match the XLA solver's
+        # exact step rule.
+        a_pr = jnp.full_like(mu, 2.0)
+        a_du = jnp.full_like(mu, 2.0)
+        chk = jnp.zeros_like(mu)
 
-        # recovery
-        Ds, Dt_h, Dl_h, Dl_s = [], [], [], []
-        for k in range(N + 1):
-            CD = _mv(Cs[k], Ddx[k])
-            ds_k, dth_k, dlh_k, dls_k = [], [], [], []
-            for m in range(M):
-                ds = (rho[k][m] - s_h[k][m] * CD[m]) / zeta[k][m]
-                dth = CD[m] + ds + r_h[k][m]
-                ds_k.append(ds)
-                dth_k.append(dth)
-                dlh_k.append(b_h[k][m] - s_h[k][m] * dth)
-                dls_k.append(b_s[k][m] - s_s[k][m] * ds)
-            Ds.append(ds_k)
-            Dt_h.append(dth_k)
-            Dl_h.append(dlh_k)
-            Dl_s.append(dls_k)
-        Dt_ul = [[Ddu[k][i] + r_ul[k][i] for i in range(nu)] for k in range(N)]
-        Dt_uu = [[-Ddu[k][i] + r_uu[k][i] for i in range(nu)]
-                 for k in range(N)]
-        Dl_ul = [[b_ul[k][i] - s_ul[k][i] * Dt_ul[k][i] for i in range(nu)]
-                 for k in range(N)]
-        Dl_uu = [[b_uu[k][i] - s_uu[k][i] * Dt_uu[k][i] for i in range(nu)]
-                 for k in range(N)]
-        Dt_xl = [[Ddx[k][idxbx[i]] + r_xl[k][i] for i in range(nbx)]
-                 for k in range(N + 1)]
-        Dt_xu = [[-Ddx[k][idxbx[i]] + r_xu[k][i] for i in range(nbx)]
-                 for k in range(N + 1)]
-        Dl_xl = [[b_xl[k][i] - s_xl[k][i] * Dt_xl[k][i] for i in range(nbx)]
-                 for k in range(N + 1)]
-        Dl_xu = [[b_xu[k][i] - s_xu[k][i] * Dt_xu[k][i] for i in range(nbx)]
-                 for k in range(N + 1)]
-        return dict(dx=Ddx, du=Ddu, nu=Dnu, s=Ds,
-                    t_ul=Dt_ul, l_ul=Dl_ul, t_uu=Dt_uu, l_uu=Dl_uu,
-                    t_xl=Dt_xl, l_xl=Dl_xl, t_xu=Dt_xu, l_xu=Dl_xu,
-                    t_h=Dt_h, l_h=Dl_h, l_s=Dl_s)
-
-    # pair iteration helper: yields (v, dv, group_kind) for step rules
-    def pairs(delta, which):
-        out = []
-        if which in ("prim", "both"):
-            for k in range(N):
-                for i in range(nu):
-                    out.append((t_ul[k][i], delta["t_ul"][k][i]))
-                    out.append((t_uu[k][i], delta["t_uu"][k][i]))
-            for k in range(N + 1):
-                for i in range(nbx):
-                    out.append((t_xl[k][i], delta["t_xl"][k][i]))
-                    out.append((t_xu[k][i], delta["t_xu"][k][i]))
-                for m in range(M):
-                    out.append((t_h[k][m], delta["t_h"][k][m]))
-                    out.append((s[k][m], delta["s"][k][m]))
-        if which in ("dual", "both"):
-            for k in range(N):
-                for i in range(nu):
-                    out.append((l_ul[k][i], delta["l_ul"][k][i]))
-                    out.append((l_uu[k][i], delta["l_uu"][k][i]))
-            for k in range(N + 1):
-                for i in range(nbx):
-                    out.append((l_xl[k][i], delta["l_xl"][k][i]))
-                    out.append((l_xu[k][i], delta["l_xu"][k][i]))
-                for m in range(M):
-                    out.append((l_h[k][m], delta["l_h"][k][m]))
-                    out.append((l_s[k][m], delta["l_s"][k][m]))
-        return out
-
-    def max_step(plist, tau_f):
-        a = jnp.ones_like(dx[0][0])
-        for v, dv in plist:
+        def ftb(a, v, dv):
             neg = dv < 0
             denom = jnp.where(neg, -dv, 1.0)
-            ratio = jnp.where(neg, tau_f * v / denom, 2.0)
-            a = jnp.minimum(a, ratio)
-        return a
+            ratio = jnp.where(neg, v / denom, 2.0)
+            return jnp.minimum(a, ratio)
 
-    # ---- mu ------------------------------------------------------------
-    compl = jnp.zeros_like(dx[0][0])
-    for k in range(N):
-        for i in range(nu):
-            compl = compl + t_ul[k][i] * l_ul[k][i] + t_uu[k][i] * l_uu[k][i]
-    for k in range(N + 1):
-        for i in range(nbx):
-            compl = compl + t_xl[k][i] * l_xl[k][i] + t_xu[k][i] * l_xu[k][i]
-        for m in range(M):
-            compl = compl + t_h[k][m] * l_h[k][m] + s[k][m] * l_s[k][m]
-    mu = compl / n_pairs
+        xk = [jnp.zeros_like(mu) for _ in range(nx)]
+        for k in range(N + 1):
+            # soft / x-box recovery at stage k (uses current xk = Ddx_k)
+            b_ul, b_uu, b_xl, b_xu, b_h, b_s = betas_at(k, corrector, mu_t)
+            sxl, sxu = sigmas_x(k)
+            sh, ss, zeta, _ = sigmas_h(k)
+            Ck = _mat(C_ref, k, M, nx)
+            CD = _mv(Ck, xk)
+            for m in range(M):
+                rho = (-RS[k, m] + b_h[m] + b_s[m] - sh[m] * RH[k, m])
+                ds = (rho - sh[m] * CD[m]) / zeta[m]
+                dth = CD[m] + ds + RH[k, m]
+                dlh = b_h[m] - sh[m] * dth
+                dls = b_s[m] - ss[m] * ds
+                tTH[k, m] = dth
+                tLH[k, m] = dlh
+                tLS[k, m] = dls
+                if corrector:
+                    DS2[k, m] = ds
+                    chk = chk + ds
+                else:
+                    AS_[k, m] = ds
+                a_pr = ftb(ftb(a_pr, th_i[k, m], dth), s_i[k, m], ds)
+                a_du = ftb(ftb(a_du, lh_i[k, m], dlh), ls_i[k, m], dls)
+            for i in range(nbx):
+                dtxl = xk[idxbx[i]] + RXL[k, i]
+                dtxu = -xk[idxbx[i]] + RXU[k, i]
+                dlxl = b_xl[i] - sxl[i] * dtxl
+                dlxu = b_xu[i] - sxu[i] * dtxu
+                tXL[k, i] = dtxl
+                tXU[k, i] = dtxu
+                tLXL[k, i] = dlxl
+                tLXU[k, i] = dlxu
+                a_pr = ftb(ftb(a_pr, txl_i[k, i], dtxl), txu_i[k, i], dtxu)
+                a_du = ftb(ftb(a_du, lxl_i[k, i], dlxl), lxu_i[k, i], dlxu)
+            if corrector:
+                _store_vec(DDX, k, xk)
+                for i in range(nx):
+                    chk = chk + xk[i]
+            if k == N:
+                break
+            # control + step to k+1
+            Kk = _mat(K_s, k, nu, nx)
+            kff = _vec(KFF, k, nu)
+            uk = _vadd(_mv(Kk, xk), kff)
+            sul, suu = sigmas_u(k)
+            for i in range(nu):
+                dtul = uk[i] + RUL[k, i]
+                dtuu = -uk[i] + RUU[k, i]
+                dlul = b_ul[i] - sul[i] * dtul
+                dluu = b_uu[i] - suu[i] * dtuu
+                tTU[k, i] = dtul
+                tTV[k, i] = dtuu
+                tLU[k, i] = dlul
+                tLV[k, i] = dluu
+                a_pr = ftb(ftb(a_pr, tul_i[k, i], dtul), tuu_i[k, i], dtuu)
+                a_du = ftb(ftb(a_du, lul_i[k, i], dlul), luu_i[k, i], dluu)
+            if corrector:
+                _store_vec(DDU, k, uk)
+                for i in range(nu):
+                    chk = chk + uk[i]
+            Ak = _mat(A_ref, k, nx, nx)
+            Bk = _mat(B_ref, k, nx, nu)
+            ck = _vec(c_ref, k, nx)
+            Ax = _mv(Ak, _vec(dx_i, k, nx))
+            Bu = _mv(Bk, _vec(du_i, k, nu))
+            d = [-(dx_i[k + 1, i] - Ax[i] - Bu[i] - ck[i]) for i in range(nx)]
+            xk = _vadd(_vadd(_mv(Ak, xk), _mv(Bk, uk)), d)
+            if corrector:
+                Pk1 = _mat(P_s, k, nx, nx)
+                Px = _mv(Pk1, xk)
+                pn = _vec(PN, k, nx)
+                _store_vec(DNU, k, [-(Px[i] + pn[i]) for i in range(nx)])
+        return a_pr, a_du, chk
 
-    # ---- predictor ------------------------------------------------------
-    beta_aff = dict(
-        ul=[[-l_ul[k][i] for i in range(nu)] for k in range(N)],
-        uu=[[-l_uu[k][i] for i in range(nu)] for k in range(N)],
-        xl=[[-l_xl[k][i] for i in range(nbx)] for k in range(N + 1)],
-        xu=[[-l_xu[k][i] for i in range(nbx)] for k in range(N + 1)],
-        h=[[-l_h[k][m] for m in range(M)] for k in range(N + 1)],
-        s=[[-l_s[k][m] for m in range(M)] for k in range(N + 1)],
-    )
-    aff = directions(beta_aff)
-    ap_aff = max_step(pairs(aff, "prim"), 1.0)
-    ad_aff = max_step(pairs(aff, "dual"), 1.0)
+    # ================= predictor ========================================
+    ap_raw0, ad_raw0, _ = direction_pass(False)
+    ap_aff = jnp.minimum(ap_raw0, 1.0)
+    ad_aff = jnp.minimum(ad_raw0, 1.0)
 
     mu_aff = jnp.zeros_like(mu)
-
-    def acc_aff(t, dt, l, dl):
-        return (t + ap_aff * dt) * (l + ad_aff * dl)
-
     for k in range(N):
         for i in range(nu):
-            mu_aff = mu_aff + acc_aff(t_ul[k][i], aff["t_ul"][k][i],
-                                      l_ul[k][i], aff["l_ul"][k][i])
-            mu_aff = mu_aff + acc_aff(t_uu[k][i], aff["t_uu"][k][i],
-                                      l_uu[k][i], aff["l_uu"][k][i])
+            mu_aff = (mu_aff
+                      + (tul_i[k, i] + ap_aff * ATU[k, i])
+                      * (lul_i[k, i] + ad_aff * ALU[k, i])
+                      + (tuu_i[k, i] + ap_aff * ATV[k, i])
+                      * (luu_i[k, i] + ad_aff * ALV[k, i]))
     for k in range(N + 1):
         for i in range(nbx):
-            mu_aff = mu_aff + acc_aff(t_xl[k][i], aff["t_xl"][k][i],
-                                      l_xl[k][i], aff["l_xl"][k][i])
-            mu_aff = mu_aff + acc_aff(t_xu[k][i], aff["t_xu"][k][i],
-                                      l_xu[k][i], aff["l_xu"][k][i])
+            mu_aff = (mu_aff
+                      + (txl_i[k, i] + ap_aff * AXL[k, i])
+                      * (lxl_i[k, i] + ad_aff * ALXL[k, i])
+                      + (txu_i[k, i] + ap_aff * AXU[k, i])
+                      * (lxu_i[k, i] + ad_aff * ALXU[k, i]))
         for m in range(M):
-            mu_aff = mu_aff + acc_aff(t_h[k][m], aff["t_h"][k][m],
-                                      l_h[k][m], aff["l_h"][k][m])
-            mu_aff = mu_aff + acc_aff(s[k][m], aff["s"][k][m],
-                                      l_s[k][m], aff["l_s"][k][m])
+            mu_aff = (mu_aff
+                      + (th_i[k, m] + ap_aff * ATH[k, m])
+                      * (lh_i[k, m] + ad_aff * ALH[k, m])
+                      + (s_i[k, m] + ap_aff * AS_[k, m])
+                      * (ls_i[k, m] + ad_aff * ALS[k, m]))
     mu_aff = mu_aff / n_pairs
     sig_c = jnp.clip((mu_aff / jnp.maximum(mu, _T_FLOOR)) ** 3, 0.0, 1.0)
     mu_t = sig_c * mu
 
-    # ---- corrector -------------------------------------------------------
-    def bc2(t, l, dt_a, dl_a):
-        return (mu_t - t * l - dt_a * dl_a) / jnp.maximum(t, _T_FLOOR)
+    # ================= corrector ========================================
+    ap_raw, ad_raw, chk = direction_pass(True, mu_t)
+    a_p = jnp.minimum(tau * ap_raw, 1.0)
+    a_d = jnp.minimum(tau * ad_raw, 1.0)
 
-    beta_cor = dict(
-        ul=[[bc2(t_ul[k][i], l_ul[k][i], aff["t_ul"][k][i],
-                 aff["l_ul"][k][i]) for i in range(nu)] for k in range(N)],
-        uu=[[bc2(t_uu[k][i], l_uu[k][i], aff["t_uu"][k][i],
-                 aff["l_uu"][k][i]) for i in range(nu)] for k in range(N)],
-        xl=[[bc2(t_xl[k][i], l_xl[k][i], aff["t_xl"][k][i],
-                 aff["l_xl"][k][i]) for i in range(nbx)]
-            for k in range(N + 1)],
-        xu=[[bc2(t_xu[k][i], l_xu[k][i], aff["t_xu"][k][i],
-                 aff["l_xu"][k][i]) for i in range(nbx)]
-            for k in range(N + 1)],
-        h=[[bc2(t_h[k][m], l_h[k][m], aff["t_h"][k][m], aff["l_h"][k][m])
-            for m in range(M)] for k in range(N + 1)],
-        s=[[bc2(s[k][m], l_s[k][m], aff["s"][k][m], aff["l_s"][k][m])
-            for m in range(M)] for k in range(N + 1)],
-    )
-    cor = directions(beta_cor)
-    a_p = max_step(pairs(cor, "prim"), tau)
-    a_d = max_step(pairs(cor, "dual"), tau)
-
-    # ---- convergence / finiteness safeguards ---------------------------
-    stat = jnp.zeros_like(mu)
-    for k in range(1, N + 1):
-        for i in range(nx):
-            stat = jnp.maximum(stat, jnp.abs(r_x[k][i]))
-    for k in range(N):
-        for i in range(nu):
-            stat = jnp.maximum(stat, jnp.abs(r_u[k][i]))
     converged = (mu < tol) & (stat < stat_tol)
-    chk = jnp.zeros_like(mu)
-    for k in range(N + 1):
-        for i in range(nx):
-            chk = chk + cor["dx"][k][i]
-        for m in range(M):
-            chk = chk + cor["s"][k][m]
-    for k in range(N):
-        for i in range(nu):
-            chk = chk + cor["du"][k][i]
-    finite = (jnp.abs(chk) < f32max) & (jnp.abs(a_p) < f32max) & \
-        (jnp.abs(a_d) < f32max) & (chk == chk)
+    finite = (jnp.abs(chk) < f32max) & (chk == chk) & \
+        (a_p == a_p) & (a_d == a_d)
     frozen = converged | ~finite
 
     tiny = 1e-30
@@ -446,39 +424,29 @@ def _ip_iteration_kernel(nx, nu, N, M, nbx, reg, tau, tol, stat_tol,
             v = jnp.maximum(v, tiny)
         return jnp.where(frozen, old, v)
 
-    # ---- write state out ------------------------------------------------
+    # ================= state update =====================================
     for k in range(N + 1):
-        _store_vec(dx_o, k, [upd(dx[k][i], a_p, cor["dx"][k][i])
-                             for i in range(nx)])
-        _store_vec(s_o, k, [upd(s[k][m], a_p, cor["s"][k][m], True)
-                            for m in range(M)])
-        _store_vec(txl_o, k, [upd(t_xl[k][i], a_p, cor["t_xl"][k][i], True)
-                              for i in range(nbx)])
-        _store_vec(lxl_o, k, [upd(l_xl[k][i], a_d, cor["l_xl"][k][i], True)
-                              for i in range(nbx)])
-        _store_vec(txu_o, k, [upd(t_xu[k][i], a_p, cor["t_xu"][k][i], True)
-                              for i in range(nbx)])
-        _store_vec(lxu_o, k, [upd(l_xu[k][i], a_d, cor["l_xu"][k][i], True)
-                              for i in range(nbx)])
-        _store_vec(th_o, k, [upd(t_h[k][m], a_p, cor["t_h"][k][m], True)
-                             for m in range(M)])
-        _store_vec(lh_o, k, [upd(l_h[k][m], a_d, cor["l_h"][k][m], True)
-                             for m in range(M)])
-        _store_vec(ls_o, k, [upd(l_s[k][m], a_d, cor["l_s"][k][m], True)
-                             for m in range(M)])
+        for i in range(nx):
+            dx_o[k, i] = upd(dx_i[k, i], a_p, DDX[k, i])
+        for m in range(M):
+            s_o[k, m] = upd(s_i[k, m], a_p, DS2[k, m], True)
+            th_o[k, m] = upd(th_i[k, m], a_p, CTH[k, m], True)
+            lh_o[k, m] = upd(lh_i[k, m], a_d, CLH[k, m], True)
+            ls_o[k, m] = upd(ls_i[k, m], a_d, CLS[k, m], True)
+        for i in range(nbx):
+            txl_o[k, i] = upd(txl_i[k, i], a_p, CXL[k, i], True)
+            lxl_o[k, i] = upd(lxl_i[k, i], a_d, CLXL[k, i], True)
+            txu_o[k, i] = upd(txu_i[k, i], a_p, CXU[k, i], True)
+            lxu_o[k, i] = upd(lxu_i[k, i], a_d, CLXU[k, i], True)
     for k in range(N):
-        _store_vec(du_o, k, [upd(du[k][i], a_p, cor["du"][k][i])
-                             for i in range(nu)])
-        _store_vec(nu_o, k, [upd(nu_d[k][i], a_d, cor["nu"][k][i])
-                             for i in range(nx)])
-        _store_vec(tul_o, k, [upd(t_ul[k][i], a_p, cor["t_ul"][k][i], True)
-                              for i in range(nu)])
-        _store_vec(lul_o, k, [upd(l_ul[k][i], a_d, cor["l_ul"][k][i], True)
-                              for i in range(nu)])
-        _store_vec(tuu_o, k, [upd(t_uu[k][i], a_p, cor["t_uu"][k][i], True)
-                              for i in range(nu)])
-        _store_vec(luu_o, k, [upd(l_uu[k][i], a_d, cor["l_uu"][k][i], True)
-                              for i in range(nu)])
+        for i in range(nu):
+            du_o[k, i] = upd(du_i[k, i], a_p, DDU[k, i])
+            tul_o[k, i] = upd(tul_i[k, i], a_p, CTU[k, i], True)
+            lul_o[k, i] = upd(lul_i[k, i], a_d, CLU[k, i], True)
+            tuu_o[k, i] = upd(tuu_i[k, i], a_p, CTV[k, i], True)
+            luu_o[k, i] = upd(luu_i[k, i], a_d, CLV[k, i], True)
+        for i in range(nx):
+            nu_o[k, i] = upd(nu_i[k, i], a_d, DNU[k, i])
     mu_o[0, 0] = mu
     stat_o[0, 0] = stat
 
@@ -547,7 +515,8 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
     # ---- initialization (same as solve_ocp_qp, done in XLA) -------------
     def fwd(dxk, inp):
         Ak, ck = inp
-        return (jnp.einsum("...ij,...j->...i", Ak, dxk) + ck,) * 2
+        nxt = jnp.einsum("...ij,...j->...i", Ak, dxk) + ck
+        return nxt, nxt
 
     _, dxs = jax.lax.scan(fwd, qp.dx0,
                           (jnp.moveaxis(qp.A, 1, 0), jnp.moveaxis(qp.c, 1, 0)))
@@ -588,6 +557,9 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         return pl.BlockSpec((stages, width, tile), lambda b: (0, 0, b),
                             memory_space=pltpu.VMEM)
 
+    def scr(stages, width):
+        return pltpu.VMEM((stages, width, tile), dtype)
+
     state_specs = [
         spec(N + 1, nx), spec(N, nu), spec(N + 1, M), spec(N, nx),
         spec(N, nu), spec(N, nu), spec(N, nu), spec(N, nu),
@@ -606,6 +578,19 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         _ip_iteration_kernel, nx, nu, N, M, nbx, reg, tau, tol, stat_tol,
         sigma_max, n_pairs)
 
+    # aff deltas: t_ul, l_ul, t_uu, l_uu, t_xl, l_xl, t_xu, l_xu,
+    #             t_h, l_h, s, l_s   (12 arrays; the s-delta is AS_)
+    aff_scratch = [
+        scr(N, nu), scr(N, nu), scr(N, nu), scr(N, nu),
+        scr(N + 1, nbx), scr(N + 1, nbx), scr(N + 1, nbx), scr(N + 1, nbx),
+        scr(N + 1, M), scr(N + 1, M), scr(N + 1, M), scr(N + 1, M),
+    ]
+    # corrector deltas: same minus the s-delta (stored in DS2) -> 11 arrays
+    cor_scratch = [
+        scr(N, nu), scr(N, nu), scr(N, nu), scr(N, nu),
+        scr(N + 1, nbx), scr(N + 1, nbx), scr(N + 1, nbx), scr(N + 1, nbx),
+        scr(N + 1, M), scr(N + 1, M), scr(N + 1, M),
+    ]
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -614,11 +599,15 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         out_shape=tuple(state_shapes) + (
             jax.ShapeDtypeStruct((1, 1, Bp), dtype),
             jax.ShapeDtypeStruct((1, 1, Bp), dtype)),
-        scratch_shapes=[
-            pltpu.VMEM((N, nx * nx, tile), dtype),
-            pltpu.VMEM((N, nu * nx, tile), dtype),
-            pltpu.VMEM((N, 3, tile), dtype),
-        ],
+        scratch_shapes=(
+            [scr(N, nx * nx), scr(N, nu * nx), scr(N, 3),        # P, K, L
+             scr(N, nu), scr(N, nx),                             # KFF, PN
+             scr(N + 1, nx), scr(N, nu), scr(N, nu), scr(N, nu),  # RX RU RUL RUU
+             scr(N + 1, nbx), scr(N + 1, nbx),                   # RXL RXU
+             scr(N + 1, M), scr(N + 1, M)]                       # RH RS
+            + aff_scratch
+            + [scr(N + 1, nx), scr(N, nu), scr(N, nx), scr(N + 1, M)]
+            + cor_scratch),
         interpret=interpret,
     )
 
@@ -633,8 +622,5 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
     def unprep(a):
         return jnp.moveaxis(a, -1, 0)[:Bt]
 
-    dx_out = unprep(st.dx)
-    du_out = unprep(st.du)
-    s_out = unprep(st.s)
-    return IpSolution(dx=dx_out, du=du_out, s=s_out,
+    return IpSolution(dx=unprep(st.dx), du=unprep(st.du), s=unprep(st.s),
                       mu=mus[-1][:Bt], kappa=kappa, stat_res=stats[-1][:Bt])

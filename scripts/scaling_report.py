@@ -1,0 +1,80 @@
+"""Scaling-efficiency report over a device mesh.
+
+The north star asks for solves/s scaling efficiency at 1 chip / multiple
+devices (SURVEY.md section 7 step 7). With one physical TPU available, the
+multi-device path is validated on the virtual CPU mesh
+(``--xla_force_host_platform_device_count``), which exercises the identical
+shard_map + psum program the pod would run; on a real multi-chip slice the
+same script reports ICI scaling.
+
+Usage:
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/scaling_report.py --devices 1 2 4 8 --batch 64
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", nargs="+", type=int, default=[1, 2, 4, 8])
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--ticks", type=int, default=5)
+    p.add_argument("--qp-iter", type=int, default=10)
+    p.add_argument("--n-solv", type=int, default=10)
+    args = p.parse_args()
+
+    from doa_mpc_tpu.config import SolverOptions, WorldSpec, default_cost_params
+    from doa_mpc_tpu.parallel.mesh import (
+        make_data_mesh, make_sharded_rollout, shard_leading_axis)
+    from doa_mpc_tpu.sim.closed_loop import init_loop_state, make_batched_rollout
+    from doa_mpc_tpu.sim.obstacles import robot_start_goal
+    from doa_mpc_tpu.solver.sqp_rti import make_rti_controller
+
+    dtype = jnp.float32
+    spec = WorldSpec(tf=1.0, n_solv=args.n_solv, qp_iter=args.qp_iter)
+    opts = SolverOptions(qp_iter=args.qp_iter, integrator="rk4")
+    ctrl = make_rti_controller(spec, opts, dtype=dtype)
+    params = default_cost_params(spec, dtype=dtype)
+    start, goal = robot_start_goal(spec)
+    start, goal = start.astype(dtype), goal.astype(dtype)
+
+    results = {}
+    for n_dev in args.devices:
+        if n_dev > len(jax.devices()):
+            continue
+        B = args.batch * n_dev           # weak scaling: fixed work per device
+        st = init_loop_state(jax.random.PRNGKey(0), ctrl, start, goal,
+                             "RANDOM", batch_shape=(B,))
+        mesh = make_data_mesh(jax.devices()[:n_dev])
+        st = shard_leading_axis(st, mesh)
+        rollout = make_batched_rollout(ctrl, goal, params,
+                                       max_iter=args.ticks)
+        fn = jax.jit(make_sharded_rollout(rollout, mesh))
+        final, stats = fn(st)
+        float(stats["n"])                # force
+        t0 = time.perf_counter()
+        final, stats = fn(st)
+        float(stats["n"])
+        dt = time.perf_counter() - t0
+        solves = B * args.ticks
+        results[n_dev] = solves / dt
+        base = results[min(results)]
+        eff = results[n_dev] / (base * n_dev / min(results))
+        print(json.dumps({
+            "devices": n_dev, "batch": B,
+            "solves_per_s": round(results[n_dev], 1),
+            "weak_scaling_efficiency": round(eff, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

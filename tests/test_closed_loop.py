@@ -140,6 +140,21 @@ def test_tick_freezes_done_rows():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_irk_integrator_closed_loop():
+    # the reference's solver config uses IRK (robot_ocp_problem.py:129);
+    # the implicit path must drive the loop to the goal too
+    opts = SolverOptions(qp_iter=15, integrator="irk")
+    ctrl = make_rti_controller(SPEC, opts, dtype=jnp.float64)
+    params = default_cost_params(SPEC, dtype=jnp.float64)
+    start, goal = robot_start_goal(SPEC)
+    st = init_loop_state(jax.random.PRNGKey(0), ctrl, start, goal)
+    st = st._replace(obst=_parked_obstacles(SPEC, jnp.float64))
+    rollout = jax.jit(make_rollout(ctrl, goal, params, max_iter=120,
+                                   random_move=False))
+    m = metrics_of(rollout(st))
+    assert bool(m.reached) and not bool(m.hit)
+
+
 def test_f32_loop_runs_and_reaches():
     # production dtype: the same parked-obstacle scenario must still reach
     ctrl, params, start, goal = _setup(dtype=jnp.float32)
