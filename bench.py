@@ -28,7 +28,7 @@ import jax.numpy as jnp
 BATCH = 4096
 TICKS = 20
 QP_ITER = 20
-BACKEND = "pallas"
+BACKEND = "fused"
 
 
 def main():

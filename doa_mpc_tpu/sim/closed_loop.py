@@ -184,12 +184,16 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
     """Natively-batched control tick with pluggable QP backend.
 
     Unlike ``vmap(make_tick(...))`` this calls the interior-point solver on
-    the whole scenario batch at once, which is what lets
-    ``backend='pallas'`` route the Riccati sweeps through the fused TPU
-    kernel (``ops/riccati_pallas.py``). Semantics are identical to the
-    vmapped tick.
+    the whole scenario batch at once. Backends:
+
+    - ``'xla'``:    pure-XLA Riccati scans (works everywhere; slowest)
+    - ``'pallas'``: fused Riccati kernels inside the XLA IP loop (~5x)
+    - ``'fused'``:  one fused Pallas launch per IP iteration — residuals,
+      Hessians, factorization, predictor+corrector and the update all in
+      VMEM (``ops/ip_pallas.py``; ~7x over 'pallas' again)
     """
     from doa_mpc_tpu.ops.ip_qp import solve_ocp_qp
+    from doa_mpc_tpu.ops.ip_pallas import solve_ocp_qp_fused
 
     spec, opts = ctrl.spec, ctrl.options
     n = spec.n_solv
@@ -205,9 +209,12 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
             lambda rti, x0, p: ctrl.build_qp(rti, x0, goal, p, params)
         )(st.rti, st.x0, pred)
 
-        # 3. one batched interior-point solve (fused Riccati when 'pallas')
-        sol = solve_ocp_qp(qp, iters=opts.qp_iter, tau=opts.ip_tau,
-                           backend=backend)
+        # 3. one batched interior-point solve
+        if backend == "fused":
+            sol = solve_ocp_qp_fused(qp, iters=opts.qp_iter, tau=opts.ip_tau)
+        else:
+            sol = solve_ocp_qp(qp, iters=opts.qp_iter, tau=opts.ip_tau,
+                               backend=backend)
         rti_new = RtiState(x_traj=st.rti.x_traj + sol.dx,
                            u_traj=st.rti.u_traj + sol.du)
         u0 = rti_new.u_traj[:, 0]
