@@ -58,13 +58,10 @@ def main():
             return final, jnp.sum(final.x0)
         return run
 
-    # compile + warmup (forces real execution via the scalar fetch)
-    state, chk = make_run(2)(state)
-    float(chk)
-
+    # single compile: first call compiles + warms, second is timed
     run = make_run(TICKS)
     final, chk = run(state)
-    float(chk)  # first call may include compile; time the second
+    float(chk)
     t0 = time.perf_counter()
     final, chk = run(state)
     float(chk)
