@@ -198,6 +198,13 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
     spec, opts = ctrl.spec, ctrl.options
     n = spec.n_solv
 
+    # The fully-fused kernel's VMEM stack grows with the unrolled horizon
+    # and constraint count; beyond ~(N=28, M=6) it exceeds the 16 MB scoped
+    # budget on v5e. Fall back to the two-call fused-Riccati backend there
+    # (next-round work: fori_loop stage loops make the stack O(1) in N).
+    if backend == "fused" and (spec.n_solv > 28 or spec.n_obst > 6):
+        backend = "pallas"
+
     def tick(st: LoopState) -> LoopState:
         # 1. obstacle forecast (vectorized over the batch; scan over steps)
         pred = predict_trajectory(

@@ -14,12 +14,18 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax
+
+# honor JAX_PLATFORMS even when a sitecustomize pre-registered a TPU plugin
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 
 
