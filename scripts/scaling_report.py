@@ -73,13 +73,17 @@ def main():
         dt = time.perf_counter() - t0
         solves = B * args.ticks
         results[n_dev] = solves / dt
-        base = results[min(results)]
-        eff = results[n_dev] / (base * n_dev / min(results))
+        d0 = min(results)
+        per_dev0 = results[d0] / d0
+        eff = (results[n_dev] / n_dev) / per_dev0
         print(json.dumps({
             "devices": n_dev, "batch": B,
             "solves_per_s": round(results[n_dev], 1),
             "weak_scaling_efficiency": round(eff, 3),
         }))
+    if jax.devices()[0].platform == "cpu":
+        print("# note: virtual CPU devices share one host's cores - weak "
+              "scaling here validates the SPMD program, not ICI bandwidth")
 
 
 if __name__ == "__main__":
