@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from doa_mpc_tpu.config import CostParams, SolverOptions, WorldSpec
+from doa_mpc_tpu.config import CostParams
 from doa_mpc_tpu.sim.obstacles import (
     ObstacleState, generate_obstacles, obstacle_step, predict_trajectory,
 )
@@ -94,7 +94,8 @@ def init_loop_state(key, ctrl: RtiController, x_init, goal,
         rti = jax.vmap(one)(x_init.reshape((-1, x_init.shape[-1])))
         rti = jax.tree.map(
             lambda a: a.reshape(tuple(batch_shape) + a.shape[1:]), rti)
-        keys = jax.random.split(kloop, int(jnp.prod(jnp.asarray(batch_shape))))
+        import math
+        keys = jax.random.split(kloop, math.prod(batch_shape))
         keys = keys.reshape(tuple(batch_shape) + keys.shape[1:])
     else:
         rti = one(x_init)

@@ -35,7 +35,7 @@ from doa_mpc_tpu.config import (
     CostParams, SolverOptions, WorldSpec, default_cost_params,
 )
 from doa_mpc_tpu.sim.closed_loop import (
-    init_loop_state, make_rollout, metrics_of,
+    init_loop_state, metrics_of,
 )
 from doa_mpc_tpu.sim.obstacles import robot_start_goal
 from doa_mpc_tpu.solver.sqp_rti import make_rti_controller

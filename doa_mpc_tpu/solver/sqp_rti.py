@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from doa_mpc_tpu.config import CostParams, SolverOptions, WorldSpec
-from doa_mpc_tpu.models.unicycle import dynamics, obstacle_h, obstacle_h_jac
+from doa_mpc_tpu.models.unicycle import obstacle_h, obstacle_h_jac
 from doa_mpc_tpu.ops.integrators import make_integrator
 from doa_mpc_tpu.ops.ocp_qp import BIG_BOUND, IDXBX, OcpQp
 from doa_mpc_tpu.ops.ip_qp import IpSolution, solve_ocp_qp
