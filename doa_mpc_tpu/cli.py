@@ -29,6 +29,20 @@ def _spec_args(p):
     p.add_argument("--f64", action="store_true")
 
 
+def _backend_arg(p):
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "xla", "pallas", "fused"],
+                   help="QP solver backend; 'auto' = fused Pallas kernel "
+                        "on TPU, XLA elsewhere")
+
+
+def _resolve_backend(name: str) -> str:
+    if name != "auto":
+        return name
+    import jax
+    return "fused" if jax.default_backend() == "tpu" else "xla"
+
+
 def _make(args):
     import jax.numpy as jnp
     from doa_mpc_tpu.config import SolverOptions, WorldSpec
@@ -49,14 +63,17 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=400)
     p.add_argument("--out", default="test_data/new")
     p.add_argument("--scenarios", nargs="+", default=["RANDOM", "EDGE"])
+    _backend_arg(p)
 
     p = sub.add_parser("sweep", help="TF x N_OBST sweep")
     p.add_argument("--runs", type=int, default=100)
     p.add_argument("--out", default="test_data/sweep")
+    _backend_arg(p)
 
     p = sub.add_parser("qp-sweep", help="QP_ITER sweep")
     p.add_argument("--runs", type=int, default=100)
     p.add_argument("--out", default="test_data/qp_sweep")
+    _backend_arg(p)
 
     p = sub.add_parser("demo", help="seeded visual run -> GIF (demo.py)")
     _spec_args(p)
@@ -83,13 +100,16 @@ def main(argv=None):
         spec, opts, dtype = _make(args)
         run_experiment(spec=spec, opts=opts, scenarios=tuple(args.scenarios),
                        n_runs=args.runs, max_iter=args.max_iter,
-                       out_dir=args.out, dtype=dtype)
+                       out_dir=args.out, dtype=dtype,
+                       backend=_resolve_backend(args.backend))
     elif args.cmd == "sweep":
         from doa_mpc_tpu.sim.experiments import run_horizon_sweep
-        run_horizon_sweep(n_runs=args.runs, out_dir=args.out, verbose=True)
+        run_horizon_sweep(n_runs=args.runs, out_dir=args.out, verbose=True,
+                          backend=_resolve_backend(args.backend))
     elif args.cmd == "qp-sweep":
         from doa_mpc_tpu.sim.experiments import run_qp_iter_sweep
-        run_qp_iter_sweep(n_runs=args.runs, out_dir=args.out, verbose=True)
+        run_qp_iter_sweep(n_runs=args.runs, out_dir=args.out, verbose=True,
+                          backend=_resolve_backend(args.backend))
     elif args.cmd == "demo":
         _demo(args)
     elif args.cmd == "sim":

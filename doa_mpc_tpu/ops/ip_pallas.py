@@ -1,35 +1,51 @@
-"""Fully-fused Pallas TPU kernel: one interior-point iteration per launch.
+"""Fully-fused Pallas TPU kernel: the ENTIRE interior-point solve per launch.
 
 The batch-native XLA interior-point loop (``ops/ip_qp.py``) spends ~6 ms per
-iteration on ~400 tiny elementwise kernel dispatches and only ~1.4 ms in the
-(already fused) Riccati solves. This kernel fuses an ENTIRE Mehrotra
-iteration — residuals, barrier sigmas, condensed stage Hessians, one Riccati
-factorization, predictor back-substitution + recovery, affine step lengths +
+iteration on ~400 tiny elementwise kernel dispatches. The first fused design
+(one kernel launch per IP iteration, kept in git history) removed the
+dispatch overhead but still round-tripped the full IP state through HBM
+every iteration and — because every stage loop was Python-unrolled — its
+compile time and live-register stack grew with the horizon, which capped it
+at N<=28 / M<=6 on a 16 MB-VMEM core (TPU v5e).
+
+This kernel goes the rest of the way: ONE launch per batch tile runs
+initialization plus ALL Mehrotra iterations — residuals, barrier sigmas,
+condensed stage Hessians, Riccati factorization (shared by predictor and
+corrector), predictor back-substitution + recovery, affine step lengths +
 centering, corrector back-substitution + recovery, fraction-to-boundary and
-the masked state update — into a single launch per batch tile. The
-factorization is computed once and shared by predictor and corrector (the
-two-call fused-Riccati path recomputes it).
+the masked state update. Consequences:
 
-Layout: batch-last, identical to ``ops/riccati_pallas.py`` — operands are
-``(stages, flattened, B)`` with the batch on the lane axis, every matrix
-element a ``(TILE,)`` vector, and all per-scenario reductions (duality
-measure, step lengths) lane-wise vector min/sum — no cross-lane traffic.
+- QP data is read from HBM once per tile (not once per iteration) and the
+  IP state never leaves VMEM — per-solve HBM traffic drops ~20x.
+- Every loop over stages or iterations is a ``lax.fori_loop``, so compiled
+  code size and the live SSA set are O(1) in the horizon; N=40/M=8 (the
+  reference's largest sweep point, ``run_multiple_experiments.py:5``)
+  compiles in seconds and fits VMEM.
+- The per-stage small-matrix algebra (nx=5, nu=2) stays Python-unrolled
+  into elementwise VPU ops — that part is O(stage-size), not O(horizon).
 
-VMEM discipline: every loose SSA vector occupies a padded (8, 128) register
-tile, so holding whole-horizon quantities as Python lists blows the 16 MB
-scoped-VMEM budget. All values that cross a stage-loop boundary therefore
-live in dense VMEM *scratch arrays* (residuals, Riccati factors, affine and
-corrector deltas); the kernel proceeds in stage-local passes whose live set
-is O(stage), not O(horizon).
+Layout: batch-last ("batch-major lanes"), as in ``ops/riccati_pallas.py`` —
+operands are ``(stages, packed_width, B)`` with the batch on the lane axis;
+every matrix element is one ``(TILE,)`` vector and all per-scenario
+reductions (duality measure, step lengths) are lane-wise — no cross-lane
+traffic. All per-stage quantities are packed along the sublane axis via
+explicit field layouts (``_Layout``) so nothing pays per-array 8-sublane
+padding; that packing is what fits N=40/M=8 in 16 MB.
 
-Semantics track ``ops/ip_qp.solve_ocp_qp`` line for line (same elimination
-identities, same safeguards); the equivalence test runs both at f32.
+Semantics track ``ops/ip_qp.solve_ocp_qp`` (same initialization,
+eliminations, safeguards, masked convergence freeze); the equivalence test
+runs both at f32. One intentional algebraic reassociation: the predictor's
+``mu_aff`` is accumulated as  sum(t*l) + ap*S1 + ad*S2 + ap*ad*S3  with
+S1=sum(dt*l), S2=sum(t*dl), S3=sum(dt*dl) collected during the affine
+recovery pass — exactly equal in real arithmetic to the XLA solver's
+post-step sum, differing only in f32 rounding. Only the elementwise
+products dt*dl (needed by the corrector betas) are stored, halving the
+affine scratch.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,442 +53,764 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from doa_mpc_tpu.ops.ocp_qp import IDXBX, OcpQp, normalize_cost
-from doa_mpc_tpu.ops.riccati_pallas import (
-    _chol2, _chol2_solve, _mat, _madd, _mm, _mt, _mv, _round_up, _store_mat,
-    _store_vec, _vadd, _vec,
-)
+from doa_mpc_tpu.ops.riccati_pallas import _madd, _mm, _mt, _mv, _round_up, _vadd
 
 _T_FLOOR = 1e-12
 _ZL_FLOOR = 1e-6
 
 
-def _ip_iteration_kernel(nx, nu, N, M, nbx, reg, tau, tol, stat_tol,
-                         sigma_max, n_pairs,
-                         # ---- QP data refs (read-only) ----
-                         Q_ref, R_ref, S_ref, A_ref, B_ref, q_ref, r_ref,
-                         c_ref, lbu_ref, ubu_ref, lbx_ref, ubx_ref,
-                         C_ref, h_ref, zl_ref, Zl_ref,
-                         # ---- IP state in ----
-                         dx_i, du_i, s_i, nu_i,
-                         tul_i, lul_i, tuu_i, luu_i, txl_i, lxl_i,
-                         txu_i, lxu_i, th_i, lh_i, ls_i,
-                         # ---- IP state out ----
-                         dx_o, du_o, s_o, nu_o,
-                         tul_o, lul_o, tuu_o, luu_o, txl_o, lxl_o,
-                         txu_o, lxu_o, th_o, lh_o, ls_o,
-                         mu_o, stat_o,
-                         # ---- scratch ----
-                         P_s, K_s, L_s, KFF, PN,
-                         RX, RU, RUL, RUU, RXL, RXU, RH, RS,
-                         ATU, ALU, ATV, ALV, AXL, ALXL, AXU, ALXU,
-                         ATH, ALH, AS_, ALS,
-                         DDX, DDU, DNU, DS2,
-                         CTU, CLU, CTV, CLV, CXL, CLXL, CXU, CLXU,
-                         CTH, CLH, CLS):
-    idxbx = list(IDXBX)
-    f32max = 3.0e38
+# ---------------------------------------------------------------------------
+# packed sublane layouts
+# ---------------------------------------------------------------------------
 
+class _Layout:
+    """Field name -> sublane offset map for one packed (stages, W, B) array."""
+
+    def __init__(self, *fields):
+        self.o = {}
+        w = 0
+        for name, width in fields:
+            self.o[name] = w
+            w += width
+        self.width = w
+
+
+def _layouts(nx, nu, M, nbx):
+    ntri = nu * (nu + 1) // 2
+    qpd = _Layout(
+        ("Q", nx * nx), ("q", nx), ("C", M * nx), ("h", M), ("zl", M),
+        ("Zl", M), ("lbx", nbx), ("ubx", nbx), ("dx0", nx),
+        ("A", nx * nx), ("B", nx * nu), ("c", nx), ("R", nu * nu),
+        ("S", nu * nx), ("r", nu), ("lbu", nu), ("ubu", nu))
+    ric = _Layout(("P", nx * nx), ("K", nu * nx), ("L", ntri),
+                  ("kff", nu), ("pn", nx))
+    res = _Layout(("rx", nx), ("rxl", nbx), ("rxu", nbx), ("rh", M),
+                  ("rs", M), ("ru", nu), ("rul", nu), ("ruu", nu))
+    aff = _Layout(("pul", nu), ("puu", nu), ("pxl", nbx), ("pxu", nbx),
+                  ("ph", M), ("ps", M))
+    cor = _Layout(("ddx", nx), ("ddu", nu), ("dnu", nx), ("ds", M),
+                  ("th", M), ("lh", M), ("ls", M),
+                  ("xl", nbx), ("lxl", nbx), ("xu", nbx), ("lxu", nbx),
+                  ("tu", nu), ("lu", nu), ("tv", nu), ("lv", nu))
+    return qpd, ric, res, aff, cor
+
+
+def _pad8(w):
+    return -(-w // 8) * 8
+
+
+def fused_vmem_bytes(N, M, nx=5, nu=2, nbx=None, tile=128, itemsize=4):
+    """Estimate of the kernel's VMEM footprint (inputs double-buffered).
+
+    Used by callers to decide whether the fused backend fits the ~16 MB
+    VMEM of one TPU core before paying a compile.
+    """
+    nbx = len(IDXBX) if nbx is None else nbx
+    qpd, ric, res, aff, cor = _layouts(nx, nu, M, nbx)
+    st = N + 1
+    inp = 2 * st * _pad8(qpd.width)
+    outs = 2 * (st * _pad8(nx) + N * _pad8(nu) + st * _pad8(M) + 2 * 8)
+    # state scratch: 15 separate arrays (8 sublanes each after padding):
+    # 9 at N+1 stages (dx, s, 4 x-pairs, th, lh, ls), 6 at N stages
+    state = st * 8 * 9 + N * 8 * 6
+    work = (N * _pad8(ric.width)
+            + st * (_pad8(res.width) + _pad8(aff.width) + _pad8(cor.width)))
+    return (inp + outs + state + work) * tile * itemsize
+
+
+# ---------------------------------------------------------------------------
+# small-matrix helpers over "matrix = list[list[(TILE,) vector]]"
+# ---------------------------------------------------------------------------
+
+def _lv(ref, k, off, n):
+    return [ref[k, off + i] for i in range(n)]
+
+
+def _lm(ref, k, off, rows, cols):
+    return [[ref[k, off + i * cols + j] for j in range(cols)]
+            for i in range(rows)]
+
+
+def _svec(ref, k, off, v):
+    for i, x in enumerate(v):
+        ref[k, off + i] = x
+
+
+def _smat(ref, k, off, A):
+    cols = len(A[0])
+    for i, row in enumerate(A):
+        for j, x in enumerate(row):
+            ref[k, off + i * cols + j] = x
+
+
+def _chol_small(H, reg):
+    """Cholesky of a batched small SPD matrix (list-of-lists) -> flat lower
+    factor [L00, L10, L11, L20, L21, L22, ...] (row-major lower triangle).
+    Generic in n (unrolled at trace time)."""
+    n = len(H)
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        acc = H[j][j] + reg
+        for t in range(j):
+            acc = acc - L[j][t] * L[j][t]
+        Ljj = jnp.sqrt(jnp.maximum(acc, 1e-30))
+        L[j][j] = Ljj
+        for i in range(j + 1, n):
+            a = H[i][j]
+            for t in range(j):
+                a = a - L[i][t] * L[j][t]
+            L[i][j] = a / Ljj
+    return [L[i][j] for i in range(n) for j in range(i + 1)]
+
+
+def _chol_solve_small(Lf, b):
+    """Solve (L L') x = b with the flat lower factor from ``_chol_small``."""
+    n = len(b)
+    at = lambda i, j: Lf[i * (i + 1) // 2 + j]
+    y = [None] * n
+    for i in range(n):
+        acc = b[i]
+        for t in range(i):
+            acc = acc - at(i, t) * y[t]
+        y[i] = acc / at(i, i)
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = y[i]
+        for t in range(i + 1, n):
+            acc = acc - at(t, i) * x[t]
+        x[i] = acc / at(i, i)
+    return x
+
+
+
+def _uloop(n, body, carry, su, reverse=False):
+    """Partially-unrolled stage loop: body(k, carry) for k in 0..n-1
+    (reversed order if ``reverse``), ``su`` stages per fori_loop step plus a
+    statically peeled tail. Mosaic only supports full or no unrolling in
+    ``fori_loop`` itself, so the unroll is done at trace time: each loop
+    step issues ``su`` stage bodies back-to-back, amortizing the per-step
+    loop/branch/address overhead and giving the compiler ILP across stages.
+    """
+    su = max(1, min(su, n if n else 1))
+    full, rem = divmod(n, su)
+
+    def idx(i):
+        return (n - 1 - i) if reverse else i
+
+    def step(b, c):
+        for j in range(su):
+            c = body(idx(b * su + j), c)
+        return c
+
+    carry = jax.lax.fori_loop(0, full, step, carry)
+    for j in range(rem):                      # static tail
+        carry = body(idx(full * su + j), carry)
+    return carry
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, reg, tau, tol, stat_tol,
+                     sigma_max, n_pairs, LQ, LR, LRES, LAFF, LCOR,
+                     QPD,
+                     dx_o, du_o, s_o, mu_o, stat_o,
+                     SDX, SDU, SS, SNU,
+                     STUL, SLUL, STUU, SLUU,
+                     STXL, SLXL, STXU, SLXU,
+                     STH, SLH, SLS,
+                     RIC, RES, AFFP, COR):
+    idxbx = list(IDXBX)
+    ntri = nu * (nu + 1) // 2
+    f32max = 3.0e38
+    zero = jnp.zeros_like(QPD[0, 0])
+
+    def qv(k, name, n):
+        return _lv(QPD, k, LQ.o[name], n)
+
+    def qm(k, name, rows, cols):
+        return _lm(QPD, k, LQ.o[name], rows, cols)
+
+    def sdx(k):
+        return [SDX[k, i] for i in range(nx)]
+
+    def sdu(k):
+        return [SDU[k, i] for i in range(nu)]
+
+    def snu(k):
+        return [SNU[k, i] for i in range(nx)]
+
+    # ================= initialization (matches solve_ocp_qp) =============
+    t_min = 0.1
+    mu0 = 1.0
+
+    x = qv(0, "dx0", nx)
+    for i in range(nx):
+        SDX[0, i] = x[i]
+
+    def init_roll(k, xk):
+        xn = _vadd(_mv(qm(k, "A", nx, nx), xk), qv(k, "c", nx))
+        for i in range(nx):
+            SDX[k + 1, i] = xn[i]
+        return xn
+
+    jax.lax.fori_loop(0, N, init_roll, x)
+
+    def init_x(k, _):
+        dxk = sdx(k)
+        g = _vadd(qv(k, "h", M), _mv(qm(k, "C", M, nx), dxk))
+        for m in range(M):
+            s0 = jnp.maximum(t_min, t_min - g[m])
+            SS[k, m] = s0
+            th = jnp.maximum(g[m] + s0, t_min)
+            STH[k, m] = th
+            SLH[k, m] = mu0 / th
+            SLS[k, m] = mu0 / s0
+        lbx = qv(k, "lbx", nbx)
+        ubx = qv(k, "ubx", nbx)
+        for i in range(nbx):
+            t = jnp.maximum(dxk[idxbx[i]] - lbx[i], t_min)
+            STXL[k, i] = t
+            SLXL[k, i] = mu0 / t
+            t = jnp.maximum(ubx[i] - dxk[idxbx[i]], t_min)
+            STXU[k, i] = t
+            SLXU[k, i] = mu0 / t
+        return _
+
+    jax.lax.fori_loop(0, N + 1, init_x, 0)
+
+    def init_u(k, _):
+        lbu = qv(k, "lbu", nu)
+        ubu = qv(k, "ubu", nu)
+        for i in range(nu):
+            SDU[k, i] = zero
+            t = jnp.maximum(-lbu[i], t_min)
+            STUL[k, i] = t
+            SLUL[k, i] = mu0 / t
+            t = jnp.maximum(ubu[i], t_min)
+            STUU[k, i] = t
+            SLUU[k, i] = mu0 / t
+        for i in range(nx):
+            SNU[k, i] = zero
+        return _
+
+    jax.lax.fori_loop(0, N, init_u, 0)
+
+    # ================= per-iteration helpers ==============================
     def Zl_at(k):
-        return [jnp.maximum(Zl_ref[k, m], _ZL_FLOOR) for m in range(M)]
+        return [jnp.maximum(QPD[k, LQ.o["Zl"] + m], _ZL_FLOOR)
+                for m in range(M)]
 
     def sig(l, t):
         return jnp.clip(l / jnp.maximum(t, _T_FLOOR), 0.0, sigma_max)
 
     def sigmas_x(k):
-        sxl = [sig(lxl_i[k, i], txl_i[k, i]) for i in range(nbx)]
-        sxu = [sig(lxu_i[k, i], txu_i[k, i]) for i in range(nbx)]
+        sxl = [sig(SLXL[k, i], STXL[k, i]) for i in range(nbx)]
+        sxu = [sig(SLXU[k, i], STXU[k, i]) for i in range(nbx)]
         return sxl, sxu
 
     def sigmas_u(k):
-        sul = [sig(lul_i[k, i], tul_i[k, i]) for i in range(nu)]
-        suu = [sig(luu_i[k, i], tuu_i[k, i]) for i in range(nu)]
+        sul = [sig(SLUL[k, i], STUL[k, i]) for i in range(nu)]
+        suu = [sig(SLUU[k, i], STUU[k, i]) for i in range(nu)]
         return sul, suu
 
     def sigmas_h(k):
-        sh = [sig(lh_i[k, m], th_i[k, m]) for m in range(M)]
-        ss = [sig(ls_i[k, m], s_i[k, m]) for m in range(M)]
+        sh = [sig(SLH[k, m], STH[k, m]) for m in range(M)]
+        ss = [sig(SLS[k, m], SS[k, m]) for m in range(M)]
         Zk = Zl_at(k)
         zeta = [Zk[m] + sh[m] + ss[m] for m in range(M)]
         seff = [sh[m] * (Zk[m] + ss[m]) / zeta[m] for m in range(M)]
         return sh, ss, zeta, seff
 
-    # ================= PHASE 0: residuals -> scratch ====================
-    mu = jnp.zeros_like(dx_i[0, 0])
-    stat = jnp.zeros_like(mu)
-    for k in range(N + 1):
-        dxk = _vec(dx_i, k, nx)
-        Ck = _mat(C_ref, k, M, nx)
-        # x-box residuals + complementarity
-        for i in range(nbx):
-            RXL[k, i] = dxk[idxbx[i]] - lbx_ref[k, i] - txl_i[k, i]
-            RXU[k, i] = ubx_ref[k, i] - dxk[idxbx[i]] - txu_i[k, i]
-            mu = mu + txl_i[k, i] * lxl_i[k, i] + txu_i[k, i] * lxu_i[k, i]
-        # soft constraint residuals
-        Cdx = _mv(Ck, dxk)
-        Zk = Zl_at(k)
-        for m in range(M):
-            g = h_ref[k, m] + Cdx[m]
-            RH[k, m] = g + s_i[k, m] - th_i[k, m]
-            RS[k, m] = (Zk[m] * s_i[k, m] + zl_ref[k, m]
-                        - lh_i[k, m] - ls_i[k, m])
-            mu = mu + th_i[k, m] * lh_i[k, m] + s_i[k, m] * ls_i[k, m]
-        # stationarity wrt x
-        Qk = _mat(Q_ref, k, nx, nx)
-        acc = _vadd(_mv(Qk, dxk), _vec(q_ref, k, nx))
-        if k < N:
-            Sk = _mat(S_ref, k, nu, nx)
-            acc = _vadd(acc, _mv(_mt(Sk), _vec(du_i, k, nu)))
-            Ak = _mat(A_ref, k, nx, nx)
-            Atn = _mv(_mt(Ak), _vec(nu_i, k, nx))
-            acc = [acc[i] - Atn[i] for i in range(nx)]
-        if k >= 1:
-            acc = _vadd(acc, _vec(nu_i, k - 1, nx))
-        for i in range(nbx):
-            acc[idxbx[i]] = acc[idxbx[i]] - (lxl_i[k, i] - lxu_i[k, i])
-        Ctl = _mv(_mt(Ck), _vec(lh_i, k, M))
-        for i in range(nx):
-            RX[k, i] = acc[i] - Ctl[i]
-            if k >= 1:
-                stat = jnp.maximum(stat, jnp.abs(acc[i] - Ctl[i]))
-    for k in range(N):
-        duk = _vec(du_i, k, nu)
-        for i in range(nu):
-            RUL[k, i] = duk[i] - lbu_ref[k, i] - tul_i[k, i]
-            RUU[k, i] = ubu_ref[k, i] - duk[i] - tuu_i[k, i]
-            mu = mu + tul_i[k, i] * lul_i[k, i] + tuu_i[k, i] * luu_i[k, i]
-        Rk = _mat(R_ref, k, nu, nu)
-        Sk = _mat(S_ref, k, nu, nx)
-        Bk = _mat(B_ref, k, nx, nu)
-        acc = _vadd(_vadd(_mv(Rk, duk), _vec(r_ref, k, nu)),
-                    _mv(Sk, _vec(dx_i, k, nx)))
-        Btn = _mv(_mt(Bk), _vec(nu_i, k, nx))
-        for i in range(nu):
-            RU[k, i] = acc[i] - Btn[i] - (lul_i[k, i] - luu_i[k, i])
-            stat = jnp.maximum(stat, jnp.abs(RU[k, i]))
-    mu = mu / n_pairs
+    def ftb(a, v, dv):
+        neg = dv < 0
+        denom = jnp.where(neg, -dv, 1.0)
+        ratio = jnp.where(neg, v / denom, 2.0)
+        return jnp.minimum(a, ratio)
 
-    # ================= PHASE 1: factorization ===========================
-    # P_N = Qbar_N computed inline; P carried as stage-local live matrix.
-    def Qbar_at(k):
-        Qk = _mat(Q_ref, k, nx, nx)
-        sxl, sxu = sigmas_x(k)
-        for i in range(nbx):
-            Qk[idxbx[i]][idxbx[i]] = Qk[idxbx[i]][idxbx[i]] + sxl[i] + sxu[i]
-        _, _, _, seff = sigmas_h(k)
-        Ck = _mat(C_ref, k, M, nx)
-        for i in range(nx):
-            for j in range(i, nx):
-                acc = Qk[i][j]
-                for m in range(M):
-                    acc = acc + Ck[m][i] * seff[m] * Ck[m][j]
-                Qk[i][j] = acc
-                if j != i:
-                    Qk[j][i] = acc
-        return Qk
+    def iteration(it, carry_none):
+        # ================= PHASE 0: residuals -> RES ======================
+        def res_x_body(k, mu):
+            dxk = sdx(k)
+            lbx = qv(k, "lbx", nbx)
+            ubx = qv(k, "ubx", nbx)
+            for i in range(nbx):
+                RES[k, LRES.o["rxl"] + i] = dxk[idxbx[i]] - lbx[i] - STXL[k, i]
+                RES[k, LRES.o["rxu"] + i] = ubx[i] - dxk[idxbx[i]] - STXU[k, i]
+                mu = mu + STXL[k, i] * SLXL[k, i] + STXU[k, i] * SLXU[k, i]
+            Cdx = _mv(qm(k, "C", M, nx), dxk)
+            h = qv(k, "h", M)
+            zl = qv(k, "zl", M)
+            Zk = Zl_at(k)
+            for m in range(M):
+                RES[k, LRES.o["rh"] + m] = h[m] + Cdx[m] + SS[k, m] - STH[k, m]
+                RES[k, LRES.o["rs"] + m] = (Zk[m] * SS[k, m] + zl[m]
+                                            - SLH[k, m] - SLS[k, m])
+                mu = mu + STH[k, m] * SLH[k, m] + SS[k, m] * SLS[k, m]
+            return mu
 
-    P = Qbar_at(N)
-    for k in range(N - 1, -1, -1):
-        _store_mat(P_s, k, P)
-        Ak = _mat(A_ref, k, nx, nx)
-        Bk = _mat(B_ref, k, nx, nu)
-        BT = _mt(Bk)
-        PB = _mm(P, Bk)
-        PA = _mm(P, Ak)
-        Rk = _mat(R_ref, k, nu, nu)
-        sul, suu = sigmas_u(k)
-        for i in range(nu):
-            Rk[i][i] = Rk[i][i] + sul[i] + suu[i]
-        Huu = _madd(Rk, _mm(BT, PB))
-        Sk = _mat(S_ref, k, nu, nx)
-        Hux = _madd(Sk, _mm(BT, PA))
-        L = _chol2(Huu, reg)
-        L_s[k, 0] = L[0]
-        L_s[k, 1] = L[1]
-        L_s[k, 2] = L[2]
-        Kk = [[None] * nx for _ in range(nu)]
-        for j in range(nx):
-            col = _chol2_solve(L, [Hux[0][j], Hux[1][j]])
-            Kk[0][j] = -col[0]
-            Kk[1][j] = -col[1]
-        _store_mat(K_s, k, Kk)
-        AT = _mt(Ak)
-        Pk = _madd(Qbar_at(k), _madd(_mm(AT, PA), _mm(_mt(Hux), Kk)))
-        P = [[0.5 * (Pk[i][j] + Pk[j][i]) for j in range(nx)]
-             for i in range(nx)]
+        mu = _uloop(N + 1, res_x_body, zero, su)
 
-    # ================= direction machinery ==============================
-    def betas_at(k, corrector, mu_t):
-        """Per-stage beta lists for every group (predictor: -lambda)."""
-        if not corrector:
-            b_ul = [-lul_i[k, i] for i in range(nu)] if k < N else None
-            b_uu = [-luu_i[k, i] for i in range(nu)] if k < N else None
-            b_xl = [-lxl_i[k, i] for i in range(nbx)]
-            b_xu = [-lxu_i[k, i] for i in range(nbx)]
-            b_h = [-lh_i[k, m] for m in range(M)]
-            b_s = [-ls_i[k, m] for m in range(M)]
-        else:
-            def bc2(t, l, dt_a, dl_a):
-                return (mu_t - t * l - dt_a * dl_a) / jnp.maximum(t, _T_FLOOR)
+        def rx_at(k, with_next, with_prev, stat):
+            """Stationarity wrt x_k -> RES.rx; the k=0 row is stored (used by
+            qbar) but excluded from the stat norm (dx0 is an equality)."""
+            dxk = sdx(k)
+            acc = _vadd(_mv(qm(k, "Q", nx, nx), dxk), qv(k, "q", nx))
+            if with_next:
+                acc = _vadd(acc, _mv(_mt(qm(k, "S", nu, nx)), sdu(k)))
+                Atn = _mv(_mt(qm(k, "A", nx, nx)), snu(k))
+                acc = [acc[i] - Atn[i] for i in range(nx)]
+            if with_prev:
+                acc = _vadd(acc, snu(k - 1))
+            for i in range(nbx):
+                acc[idxbx[i]] = acc[idxbx[i]] - (SLXL[k, i] - SLXU[k, i])
+            Ctl = _mv(_mt(qm(k, "C", M, nx)), _lv(SLH, k, 0, M))
+            for i in range(nx):
+                v = acc[i] - Ctl[i]
+                RES[k, LRES.o["rx"] + i] = v
+                if stat is not None:
+                    stat = jnp.maximum(stat, jnp.abs(v))
+            return stat
 
-            b_ul = ([bc2(tul_i[k, i], lul_i[k, i], ATU[k, i], ALU[k, i])
-                     for i in range(nu)] if k < N else None)
-            b_uu = ([bc2(tuu_i[k, i], luu_i[k, i], ATV[k, i], ALV[k, i])
-                     for i in range(nu)] if k < N else None)
-            b_xl = [bc2(txl_i[k, i], lxl_i[k, i], AXL[k, i], ALXL[k, i])
-                    for i in range(nbx)]
-            b_xu = [bc2(txu_i[k, i], lxu_i[k, i], AXU[k, i], ALXU[k, i])
-                    for i in range(nbx)]
-            b_h = [bc2(th_i[k, m], lh_i[k, m], ATH[k, m], ALH[k, m])
-                   for m in range(M)]
-            b_s = [bc2(s_i[k, m], ls_i[k, m], AS_[k, m], ALS[k, m])
-                   for m in range(M)]
-        return b_ul, b_uu, b_xl, b_xu, b_h, b_s
+        rx_at(0, True, False, None)
+        stat = _uloop(N - 1, lambda k, s: rx_at(k + 1, True, True, s), zero, su)
+        stat = rx_at(N, False, True, stat)
 
-    def qbar_at(k, corrector, mu_t):
-        b_ul, b_uu, b_xl, b_xu, b_h, b_s = betas_at(k, corrector, mu_t)
-        sxl, sxu = sigmas_x(k)
-        sh, ss, zeta, _ = sigmas_h(k)
-        acc = [RX[k, i] for i in range(nx)]
-        for i in range(nbx):
-            acc[idxbx[i]] = (acc[idxbx[i]]
-                             - (b_xl[i] - sxl[i] * RXL[k, i])
-                             + (b_xu[i] - sxu[i] * RXU[k, i]))
-        Ck = _mat(C_ref, k, M, nx)
-        bh_hat = []
-        for m in range(M):
-            rho = (-RS[k, m] + b_h[m] + b_s[m] - sh[m] * RH[k, m])
-            bh_hat.append(b_h[m] - sh[m] * RH[k, m] - sh[m] * rho / zeta[m])
-        Ctb = _mv(_mt(Ck), bh_hat)
-        return [acc[i] - Ctb[i] for i in range(nx)]
+        def res_u_body(k, carry):
+            mu, stat = carry
+            duk = sdu(k)
+            lbu = qv(k, "lbu", nu)
+            ubu = qv(k, "ubu", nu)
+            for i in range(nu):
+                RES[k, LRES.o["rul"] + i] = duk[i] - lbu[i] - STUL[k, i]
+                RES[k, LRES.o["ruu"] + i] = ubu[i] - duk[i] - STUU[k, i]
+                mu = mu + STUL[k, i] * SLUL[k, i] + STUU[k, i] * SLUU[k, i]
+            acc = _vadd(_vadd(_mv(qm(k, "R", nu, nu), duk), qv(k, "r", nu)),
+                        _mv(qm(k, "S", nu, nx), sdx(k)))
+            Btn = _mv(_mt(qm(k, "B", nx, nu)), snu(k))
+            for i in range(nu):
+                v = acc[i] - Btn[i] - (SLUL[k, i] - SLUU[k, i])
+                RES[k, LRES.o["ru"] + i] = v
+                stat = jnp.maximum(stat, jnp.abs(v))
+            return mu, stat
 
-    def rbar_at(k, corrector, mu_t):
-        b_ul, b_uu, _, _, _, _ = betas_at(k, corrector, mu_t)
-        sul, suu = sigmas_u(k)
-        return [RU[k, i] - (b_ul[i] - sul[i] * RUL[k, i])
-                + (b_uu[i] - suu[i] * RUU[k, i]) for i in range(nu)]
+        mu, stat = _uloop(N, res_u_body, (mu, stat), su)
+        mu = mu / n_pairs
 
-    def direction_pass(corrector, mu_t=None):
-        """Backward gradient pass + forward rollout + recovery.
+        # ================= PHASE 1: factorization =========================
+        def Qbar_at(k):
+            Qk = qm(k, "Q", nx, nx)
+            sxl, sxu = sigmas_x(k)
+            for i in range(nbx):
+                Qk[idxbx[i]][idxbx[i]] = (Qk[idxbx[i]][idxbx[i]]
+                                          + sxl[i] + sxu[i])
+            _, _, _, seff = sigmas_h(k)
+            Ck = qm(k, "C", M, nx)
+            for i in range(nx):
+                for j in range(i, nx):
+                    acc = Qk[i][j]
+                    for m in range(M):
+                        acc = acc + Ck[m][i] * seff[m] * Ck[m][j]
+                    Qk[i][j] = acc
+                    if j != i:
+                        Qk[j][i] = acc
+            return Qk
 
-        Writes per-pair deltas into the aff (A*) or corrector (C*) scratch
-        arrays; corrector also stores DDX/DDU/DNU/DS2 for the update pass.
-        Returns the (a_prim_raw, a_dual_raw) step bounds (tau applied by
-        caller) plus, for the corrector, a finiteness accumulator.
-        """
-        T = (CTU, CLU, CTV, CLV, CXL, CLXL, CXU, CLXU, CTH, CLH, CLS) \
-            if corrector else (ATU, ALU, ATV, ALV, AXL, ALXL, AXU, ALXU,
-                               ATH, ALH, ALS)
-        (tTU, tLU, tTV, tLV, tXL, tLXL, tXU, tLXU, tTH, tLH, tLS) = T
-
-        # backward
-        p = qbar_at(N, corrector, mu_t)
-        for k in range(N - 1, -1, -1):
-            _store_vec(PN, k, p)
-            Pk1 = _mat(P_s, k, nx, nx)
-            L = (L_s[k, 0], L_s[k, 1], L_s[k, 2])
-            Kk = _mat(K_s, k, nu, nx)
-            ck = _vec(c_ref, k, nx)
-            # d_k = -r_dyn_k; r_dyn recomputed here (not stored):
-            Ak = _mat(A_ref, k, nx, nx)
-            Bk = _mat(B_ref, k, nx, nu)
-            Ax = _mv(Ak, _vec(dx_i, k, nx))
-            Bu = _mv(Bk, _vec(du_i, k, nu))
-            d = [-(dx_i[k + 1, i] - Ax[i] - Bu[i] - ck[i]) for i in range(nx)]
-            Pd_p = _vadd(_mv(Pk1, d), p)
+        def fac_body(i, P):
+            k = N - 1 - i
+            _smat(RIC, k, LR.o["P"], P)
+            Ak = qm(k, "A", nx, nx)
+            Bk = qm(k, "B", nx, nu)
             BT = _mt(Bk)
-            m_v = _vadd(rbar_at(k, corrector, mu_t), _mv(BT, Pd_p))
-            kff = [-v for v in _chol2_solve(L, m_v)]
-            _store_vec(KFF, k, kff)
+            PB = _mm(P, Bk)
+            PA = _mm(P, Ak)
+            Rk = qm(k, "R", nu, nu)
+            sul, suu = sigmas_u(k)
+            for j in range(nu):
+                Rk[j][j] = Rk[j][j] + sul[j] + suu[j]
+            Huu = _madd(Rk, _mm(BT, PB))
+            Hux = _madd(qm(k, "S", nu, nx), _mm(BT, PA))
+            Lf = _chol_small(Huu, reg)
+            _svec(RIC, k, LR.o["L"], Lf)
+            Kk = [[None] * nx for _ in range(nu)]
+            for j in range(nx):
+                col = _chol_solve_small(Lf, [Hux[i][j] for i in range(nu)])
+                for i in range(nu):
+                    Kk[i][j] = -col[i]
+            _smat(RIC, k, LR.o["K"], Kk)
             AT = _mt(Ak)
-            p = _vadd(qbar_at(k, corrector, mu_t),
-                      _vadd(_mv(AT, Pd_p), _mv(_mt(Kk), m_v)))
+            Pk = _madd(Qbar_at(k), _madd(_mm(AT, PA), _mm(_mt(Hux), Kk)))
+            # symmetrize: keeps the recursion stable in f32
+            return [[0.5 * (Pk[i][j] + Pk[j][i]) for j in range(nx)]
+                    for i in range(nx)]
 
-        # forward + recovery. The step-bound accumulators hold the RAW
-        # min ratio (sentinel 2.0); the caller applies min(1, tau * raw) so
-        # predictor (tau=1) and corrector (tau=0.99) match the XLA solver's
-        # exact step rule.
-        a_pr = jnp.full_like(mu, 2.0)
-        a_du = jnp.full_like(mu, 2.0)
-        chk = jnp.zeros_like(mu)
+        _uloop(N, lambda i, P: fac_body(i, P), Qbar_at(N), su)
 
-        def ftb(a, v, dv):
-            neg = dv < 0
-            denom = jnp.where(neg, -dv, 1.0)
-            ratio = jnp.where(neg, v / denom, 2.0)
-            return jnp.minimum(a, ratio)
+        # ================= direction machinery ============================
+        def betas_x(k, corrector, mu_t):
+            if not corrector:
+                b_xl = [-SLXL[k, i] for i in range(nbx)]
+                b_xu = [-SLXU[k, i] for i in range(nbx)]
+                b_h = [-SLH[k, m] for m in range(M)]
+                b_s = [-SLS[k, m] for m in range(M)]
+            else:
+                def bc2(t, l, prod):
+                    return (mu_t - t * l - prod) / jnp.maximum(t, _T_FLOOR)
 
-        xk = [jnp.zeros_like(mu) for _ in range(nx)]
-        for k in range(N + 1):
-            # soft / x-box recovery at stage k (uses current xk = Ddx_k)
-            b_ul, b_uu, b_xl, b_xu, b_h, b_s = betas_at(k, corrector, mu_t)
+                b_xl = [bc2(STXL[k, i], SLXL[k, i],
+                            AFFP[k, LAFF.o["pxl"] + i]) for i in range(nbx)]
+                b_xu = [bc2(STXU[k, i], SLXU[k, i],
+                            AFFP[k, LAFF.o["pxu"] + i]) for i in range(nbx)]
+                b_h = [bc2(STH[k, m], SLH[k, m],
+                           AFFP[k, LAFF.o["ph"] + m]) for m in range(M)]
+                b_s = [bc2(SS[k, m], SLS[k, m],
+                           AFFP[k, LAFF.o["ps"] + m]) for m in range(M)]
+            return b_xl, b_xu, b_h, b_s
+
+        def betas_u(k, corrector, mu_t):
+            if not corrector:
+                return ([-SLUL[k, i] for i in range(nu)],
+                        [-SLUU[k, i] for i in range(nu)])
+
+            def bc2(t, l, prod):
+                return (mu_t - t * l - prod) / jnp.maximum(t, _T_FLOOR)
+
+            b_ul = [bc2(STUL[k, i], SLUL[k, i], AFFP[k, LAFF.o["pul"] + i])
+                    for i in range(nu)]
+            b_uu = [bc2(STUU[k, i], SLUU[k, i], AFFP[k, LAFF.o["puu"] + i])
+                    for i in range(nu)]
+            return b_ul, b_uu
+
+        def qbar_at(k, corrector, mu_t):
+            b_xl, b_xu, b_h, b_s = betas_x(k, corrector, mu_t)
             sxl, sxu = sigmas_x(k)
             sh, ss, zeta, _ = sigmas_h(k)
-            Ck = _mat(C_ref, k, M, nx)
-            CD = _mv(Ck, xk)
+            acc = [RES[k, LRES.o["rx"] + i] for i in range(nx)]
+            for i in range(nbx):
+                acc[idxbx[i]] = (acc[idxbx[i]]
+                                 - (b_xl[i] - sxl[i] * RES[k, LRES.o["rxl"] + i])
+                                 + (b_xu[i] - sxu[i] * RES[k, LRES.o["rxu"] + i]))
+            Ck = qm(k, "C", M, nx)
+            bh_hat = []
             for m in range(M):
-                rho = (-RS[k, m] + b_h[m] + b_s[m] - sh[m] * RH[k, m])
+                rh = RES[k, LRES.o["rh"] + m]
+                rho = (-RES[k, LRES.o["rs"] + m] + b_h[m] + b_s[m]
+                       - sh[m] * rh)
+                bh_hat.append(b_h[m] - sh[m] * rh - sh[m] * rho / zeta[m])
+            Ctb = _mv(_mt(Ck), bh_hat)
+            return [acc[i] - Ctb[i] for i in range(nx)]
+
+        def rbar_at(k, corrector, mu_t):
+            b_ul, b_uu = betas_u(k, corrector, mu_t)
+            sul, suu = sigmas_u(k)
+            return [RES[k, LRES.o["ru"] + i]
+                    - (b_ul[i] - sul[i] * RES[k, LRES.o["rul"] + i])
+                    + (b_uu[i] - suu[i] * RES[k, LRES.o["ruu"] + i])
+                    for i in range(nu)]
+
+        def dyn_gap(k):
+            """d_k = -r_dyn_k, recomputed from state (not stored)."""
+            Ax = _mv(qm(k, "A", nx, nx), sdx(k))
+            Bu = _mv(qm(k, "B", nx, nu), sdu(k))
+            ck = qv(k, "c", nx)
+            return [-(SDX[k + 1, i] - Ax[i] - Bu[i] - ck[i])
+                    for i in range(nx)]
+
+        def backward(corrector, mu_t):
+            def bb(i, p):
+                k = N - 1 - i
+                _svec(RIC, k, LR.o["pn"], p)
+                Pk1 = _lm(RIC, k, LR.o["P"], nx, nx)
+                Lf = _lv(RIC, k, LR.o["L"], ntri)
+                Kk = _lm(RIC, k, LR.o["K"], nu, nx)
+                d = dyn_gap(k)
+                Pd_p = _vadd(_mv(Pk1, d), p)
+                BT = _mt(qm(k, "B", nx, nu))
+                m_v = _vadd(rbar_at(k, corrector, mu_t), _mv(BT, Pd_p))
+                kff = [-v for v in _chol_solve_small(Lf, m_v)]
+                _svec(RIC, k, LR.o["kff"], kff)
+                AT = _mt(qm(k, "A", nx, nx))
+                return _vadd(qbar_at(k, corrector, mu_t),
+                             _vadd(_mv(AT, Pd_p), _mv(_mt(Kk), m_v)))
+
+            _uloop(N, bb, qbar_at(N, corrector, mu_t), su)
+
+        def recovery(k, xk, corrector, mu_t, acc):
+            """Soft + x-box recovery at stage k from Ddx_k = xk.
+
+            acc is (a_pr, a_du, S1, S2, S3) for the affine pass
+            (S* are the mu_aff cross sums) and (a_pr, a_du, chk) for the
+            corrector. Affine stores only the dt*dl products; corrector
+            stores the deltas for the update pass.
+            """
+            b_xl, b_xu, b_h, b_s = betas_x(k, corrector, mu_t)
+            sxl, sxu = sigmas_x(k)
+            sh, ss, zeta, _ = sigmas_h(k)
+            CD = _mv(qm(k, "C", M, nx), xk)
+            if corrector:
+                a_pr, a_du, chk = acc
+            else:
+                a_pr, a_du, S1, S2, S3 = acc
+            for m in range(M):
+                rh = RES[k, LRES.o["rh"] + m]
+                rho = (-RES[k, LRES.o["rs"] + m] + b_h[m] + b_s[m]
+                       - sh[m] * rh)
                 ds = (rho - sh[m] * CD[m]) / zeta[m]
-                dth = CD[m] + ds + RH[k, m]
+                dth = CD[m] + ds + rh
                 dlh = b_h[m] - sh[m] * dth
                 dls = b_s[m] - ss[m] * ds
-                tTH[k, m] = dth
-                tLH[k, m] = dlh
-                tLS[k, m] = dls
+                a_pr = ftb(ftb(a_pr, STH[k, m], dth), SS[k, m], ds)
+                a_du = ftb(ftb(a_du, SLH[k, m], dlh), SLS[k, m], dls)
                 if corrector:
-                    DS2[k, m] = ds
+                    COR[k, LCOR.o["ds"] + m] = ds
+                    COR[k, LCOR.o["th"] + m] = dth
+                    COR[k, LCOR.o["lh"] + m] = dlh
+                    COR[k, LCOR.o["ls"] + m] = dls
                     chk = chk + ds
                 else:
-                    AS_[k, m] = ds
-                a_pr = ftb(ftb(a_pr, th_i[k, m], dth), s_i[k, m], ds)
-                a_du = ftb(ftb(a_du, lh_i[k, m], dlh), ls_i[k, m], dls)
+                    AFFP[k, LAFF.o["ph"] + m] = dth * dlh
+                    AFFP[k, LAFF.o["ps"] + m] = ds * dls
+                    S1 = S1 + dth * SLH[k, m] + ds * SLS[k, m]
+                    S2 = S2 + STH[k, m] * dlh + SS[k, m] * dls
+                    S3 = S3 + dth * dlh + ds * dls
             for i in range(nbx):
-                dtxl = xk[idxbx[i]] + RXL[k, i]
-                dtxu = -xk[idxbx[i]] + RXU[k, i]
+                dtxl = xk[idxbx[i]] + RES[k, LRES.o["rxl"] + i]
+                dtxu = -xk[idxbx[i]] + RES[k, LRES.o["rxu"] + i]
                 dlxl = b_xl[i] - sxl[i] * dtxl
                 dlxu = b_xu[i] - sxu[i] * dtxu
-                tXL[k, i] = dtxl
-                tXU[k, i] = dtxu
-                tLXL[k, i] = dlxl
-                tLXU[k, i] = dlxu
-                a_pr = ftb(ftb(a_pr, txl_i[k, i], dtxl), txu_i[k, i], dtxu)
-                a_du = ftb(ftb(a_du, lxl_i[k, i], dlxl), lxu_i[k, i], dlxu)
+                a_pr = ftb(ftb(a_pr, STXL[k, i], dtxl), STXU[k, i], dtxu)
+                a_du = ftb(ftb(a_du, SLXL[k, i], dlxl), SLXU[k, i], dlxu)
+                if corrector:
+                    COR[k, LCOR.o["xl"] + i] = dtxl
+                    COR[k, LCOR.o["lxl"] + i] = dlxl
+                    COR[k, LCOR.o["xu"] + i] = dtxu
+                    COR[k, LCOR.o["lxu"] + i] = dlxu
+                else:
+                    AFFP[k, LAFF.o["pxl"] + i] = dtxl * dlxl
+                    AFFP[k, LAFF.o["pxu"] + i] = dtxu * dlxu
+                    S1 = S1 + dtxl * SLXL[k, i] + dtxu * SLXU[k, i]
+                    S2 = S2 + STXL[k, i] * dlxl + STXU[k, i] * dlxu
+                    S3 = S3 + dtxl * dlxl + dtxu * dlxu
             if corrector:
-                _store_vec(DDX, k, xk)
+                _svec(COR, k, LCOR.o["ddx"], xk)
                 for i in range(nx):
                     chk = chk + xk[i]
-            if k == N:
-                break
-            # control + step to k+1
-            Kk = _mat(K_s, k, nu, nx)
-            kff = _vec(KFF, k, nu)
-            uk = _vadd(_mv(Kk, xk), kff)
-            sul, suu = sigmas_u(k)
-            for i in range(nu):
-                dtul = uk[i] + RUL[k, i]
-                dtuu = -uk[i] + RUU[k, i]
-                dlul = b_ul[i] - sul[i] * dtul
-                dluu = b_uu[i] - suu[i] * dtuu
-                tTU[k, i] = dtul
-                tTV[k, i] = dtuu
-                tLU[k, i] = dlul
-                tLV[k, i] = dluu
-                a_pr = ftb(ftb(a_pr, tul_i[k, i], dtul), tuu_i[k, i], dtuu)
-                a_du = ftb(ftb(a_du, lul_i[k, i], dlul), luu_i[k, i], dluu)
+                return a_pr, a_du, chk
+            return a_pr, a_du, S1, S2, S3
+
+        def forward(corrector, mu_t):
             if corrector:
-                _store_vec(DDU, k, uk)
+                acc0 = (jnp.full_like(mu, 2.0), jnp.full_like(mu, 2.0), zero)
+            else:
+                acc0 = (jnp.full_like(mu, 2.0), jnp.full_like(mu, 2.0),
+                        zero, zero, zero)
+
+            def fb(k, carry):
+                xk, acc = carry
+                acc = recovery(k, xk, corrector, mu_t, acc)
+                b_ul, b_uu = betas_u(k, corrector, mu_t)
+                Kk = _lm(RIC, k, LR.o["K"], nu, nx)
+                kff = _lv(RIC, k, LR.o["kff"], nu)
+                uk = _vadd(_mv(Kk, xk), kff)
+                sul, suu = sigmas_u(k)
+                if corrector:
+                    a_pr, a_du, chk = acc
+                else:
+                    a_pr, a_du, S1, S2, S3 = acc
                 for i in range(nu):
-                    chk = chk + uk[i]
-            Ak = _mat(A_ref, k, nx, nx)
-            Bk = _mat(B_ref, k, nx, nu)
-            ck = _vec(c_ref, k, nx)
-            Ax = _mv(Ak, _vec(dx_i, k, nx))
-            Bu = _mv(Bk, _vec(du_i, k, nu))
-            d = [-(dx_i[k + 1, i] - Ax[i] - Bu[i] - ck[i]) for i in range(nx)]
-            xk = _vadd(_vadd(_mv(Ak, xk), _mv(Bk, uk)), d)
-            if corrector:
-                Pk1 = _mat(P_s, k, nx, nx)
-                Px = _mv(Pk1, xk)
-                pn = _vec(PN, k, nx)
-                _store_vec(DNU, k, [-(Px[i] + pn[i]) for i in range(nx)])
-        return a_pr, a_du, chk
+                    dtul = uk[i] + RES[k, LRES.o["rul"] + i]
+                    dtuu = -uk[i] + RES[k, LRES.o["ruu"] + i]
+                    dlul = b_ul[i] - sul[i] * dtul
+                    dluu = b_uu[i] - suu[i] * dtuu
+                    a_pr = ftb(ftb(a_pr, STUL[k, i], dtul), STUU[k, i], dtuu)
+                    a_du = ftb(ftb(a_du, SLUL[k, i], dlul), SLUU[k, i], dluu)
+                    if corrector:
+                        COR[k, LCOR.o["tu"] + i] = dtul
+                        COR[k, LCOR.o["lu"] + i] = dlul
+                        COR[k, LCOR.o["tv"] + i] = dtuu
+                        COR[k, LCOR.o["lv"] + i] = dluu
+                    else:
+                        AFFP[k, LAFF.o["pul"] + i] = dtul * dlul
+                        AFFP[k, LAFF.o["puu"] + i] = dtuu * dluu
+                        S1 = S1 + dtul * SLUL[k, i] + dtuu * SLUU[k, i]
+                        S2 = S2 + STUL[k, i] * dlul + STUU[k, i] * dluu
+                        S3 = S3 + dtul * dlul + dtuu * dluu
+                if corrector:
+                    _svec(COR, k, LCOR.o["ddu"], uk)
+                    for i in range(nu):
+                        chk = chk + uk[i]
+                    acc = (a_pr, a_du, chk)
+                else:
+                    acc = (a_pr, a_du, S1, S2, S3)
+                d = dyn_gap(k)
+                Ak = qm(k, "A", nx, nx)
+                Bk = qm(k, "B", nx, nu)
+                xn = _vadd(_vadd(_mv(Ak, xk), _mv(Bk, uk)), d)
+                if corrector:
+                    Pk1 = _lm(RIC, k, LR.o["P"], nx, nx)
+                    pn = _lv(RIC, k, LR.o["pn"], nx)
+                    Px = _mv(Pk1, xn)
+                    _svec(COR, k, LCOR.o["dnu"],
+                          [-(Px[i] + pn[i]) for i in range(nx)])
+                return xn, acc
 
-    # ================= predictor ========================================
-    ap_raw0, ad_raw0, _ = direction_pass(False)
-    ap_aff = jnp.minimum(ap_raw0, 1.0)
-    ad_aff = jnp.minimum(ad_raw0, 1.0)
+            xk0 = [zero for _ in range(nx)]
+            xk, acc = _uloop(N, lambda k, c: fb(k, c), (xk0, acc0), su)
+            return recovery(N, xk, corrector, mu_t, acc)
 
-    mu_aff = jnp.zeros_like(mu)
-    for k in range(N):
-        for i in range(nu):
-            mu_aff = (mu_aff
-                      + (tul_i[k, i] + ap_aff * ATU[k, i])
-                      * (lul_i[k, i] + ad_aff * ALU[k, i])
-                      + (tuu_i[k, i] + ap_aff * ATV[k, i])
-                      * (luu_i[k, i] + ad_aff * ALV[k, i]))
-    for k in range(N + 1):
-        for i in range(nbx):
-            mu_aff = (mu_aff
-                      + (txl_i[k, i] + ap_aff * AXL[k, i])
-                      * (lxl_i[k, i] + ad_aff * ALXL[k, i])
-                      + (txu_i[k, i] + ap_aff * AXU[k, i])
-                      * (lxu_i[k, i] + ad_aff * ALXU[k, i]))
-        for m in range(M):
-            mu_aff = (mu_aff
-                      + (th_i[k, m] + ap_aff * ATH[k, m])
-                      * (lh_i[k, m] + ad_aff * ALH[k, m])
-                      + (s_i[k, m] + ap_aff * AS_[k, m])
-                      * (ls_i[k, m] + ad_aff * ALS[k, m]))
-    mu_aff = mu_aff / n_pairs
-    sig_c = jnp.clip((mu_aff / jnp.maximum(mu, _T_FLOOR)) ** 3, 0.0, 1.0)
-    mu_t = sig_c * mu
+        # ================= predictor ======================================
+        backward(False, None)
+        ap_raw, ad_raw, S1, S2, S3 = forward(False, None)
+        ap_aff = jnp.minimum(ap_raw, 1.0)
+        ad_aff = jnp.minimum(ad_raw, 1.0)
+        mu_aff = (mu * n_pairs + ap_aff * S1 + ad_aff * S2
+                  + ap_aff * ad_aff * S3) / n_pairs
+        sig_c = jnp.clip((mu_aff / jnp.maximum(mu, _T_FLOOR)) ** 3, 0.0, 1.0)
+        mu_t = sig_c * mu
 
-    # ================= corrector ========================================
-    ap_raw, ad_raw, chk = direction_pass(True, mu_t)
-    a_p = jnp.minimum(tau * ap_raw, 1.0)
-    a_d = jnp.minimum(tau * ad_raw, 1.0)
+        # ================= corrector ======================================
+        backward(True, mu_t)
+        ap_raw, ad_raw, chk = forward(True, mu_t)
+        a_p = jnp.minimum(tau * ap_raw, 1.0)
+        a_d = jnp.minimum(tau * ad_raw, 1.0)
 
-    converged = (mu < tol) & (stat < stat_tol)
-    finite = (jnp.abs(chk) < f32max) & (chk == chk) & \
-        (a_p == a_p) & (a_d == a_d)
-    frozen = converged | ~finite
+        converged = (mu < tol) & (stat < stat_tol)
+        finite = ((jnp.abs(chk) < f32max) & (chk == chk)
+                  & (a_p == a_p) & (a_d == a_d))
+        frozen = converged | ~finite
 
-    tiny = 1e-30
+        tiny = 1e-30
 
-    def upd(old, a, step, positive=False):
-        v = old + a * step
-        if positive:
-            v = jnp.maximum(v, tiny)
-        return jnp.where(frozen, old, v)
+        def upd(old, a, step, positive=False):
+            v = old + a * step
+            if positive:
+                v = jnp.maximum(v, tiny)
+            return jnp.where(frozen, old, v)
 
-    # ================= state update =====================================
-    for k in range(N + 1):
+        # ================= state update ===================================
+        def upd_x(k, _):
+            for i in range(nx):
+                SDX[k, i] = upd(SDX[k, i], a_p, COR[k, LCOR.o["ddx"] + i])
+            for m in range(M):
+                SS[k, m] = upd(SS[k, m], a_p, COR[k, LCOR.o["ds"] + m], True)
+                STH[k, m] = upd(STH[k, m], a_p, COR[k, LCOR.o["th"] + m], True)
+                SLH[k, m] = upd(SLH[k, m], a_d, COR[k, LCOR.o["lh"] + m], True)
+                SLS[k, m] = upd(SLS[k, m], a_d, COR[k, LCOR.o["ls"] + m], True)
+            for i in range(nbx):
+                STXL[k, i] = upd(STXL[k, i], a_p, COR[k, LCOR.o["xl"] + i], True)
+                SLXL[k, i] = upd(SLXL[k, i], a_d, COR[k, LCOR.o["lxl"] + i], True)
+                STXU[k, i] = upd(STXU[k, i], a_p, COR[k, LCOR.o["xu"] + i], True)
+                SLXU[k, i] = upd(SLXU[k, i], a_d, COR[k, LCOR.o["lxu"] + i], True)
+            return _
+
+        _uloop(N + 1, upd_x, 0, su)
+
+        def upd_u(k, _):
+            for i in range(nu):
+                SDU[k, i] = upd(SDU[k, i], a_p, COR[k, LCOR.o["ddu"] + i])
+                STUL[k, i] = upd(STUL[k, i], a_p, COR[k, LCOR.o["tu"] + i], True)
+                SLUL[k, i] = upd(SLUL[k, i], a_d, COR[k, LCOR.o["lu"] + i], True)
+                STUU[k, i] = upd(STUU[k, i], a_p, COR[k, LCOR.o["tv"] + i], True)
+                SLUU[k, i] = upd(SLUU[k, i], a_d, COR[k, LCOR.o["lv"] + i], True)
+            for i in range(nx):
+                SNU[k, i] = upd(SNU[k, i], a_d, COR[k, LCOR.o["dnu"] + i])
+            return _
+
+        _uloop(N, upd_u, 0, su)
+
+        # mu/stat of the *current* iterate (pre-update), like the per-launch
+        # kernel's outputs — the last write wins, matching mus[-1]/stats[-1].
+        mu_o[0, 0] = mu
+        stat_o[0, 0] = stat
+        return carry_none
+
+    jax.lax.fori_loop(0, iters, iteration, 0)
+
+    # ================= outputs ============================================
+    def out_x(k, _):
         for i in range(nx):
-            dx_o[k, i] = upd(dx_i[k, i], a_p, DDX[k, i])
+            dx_o[k, i] = SDX[k, i]
         for m in range(M):
-            s_o[k, m] = upd(s_i[k, m], a_p, DS2[k, m], True)
-            th_o[k, m] = upd(th_i[k, m], a_p, CTH[k, m], True)
-            lh_o[k, m] = upd(lh_i[k, m], a_d, CLH[k, m], True)
-            ls_o[k, m] = upd(ls_i[k, m], a_d, CLS[k, m], True)
-        for i in range(nbx):
-            txl_o[k, i] = upd(txl_i[k, i], a_p, CXL[k, i], True)
-            lxl_o[k, i] = upd(lxl_i[k, i], a_d, CLXL[k, i], True)
-            txu_o[k, i] = upd(txu_i[k, i], a_p, CXU[k, i], True)
-            lxu_o[k, i] = upd(lxu_i[k, i], a_d, CLXU[k, i], True)
-    for k in range(N):
+            s_o[k, m] = SS[k, m]
+        return _
+
+    jax.lax.fori_loop(0, N + 1, out_x, 0)
+
+    def out_u(k, _):
         for i in range(nu):
-            du_o[k, i] = upd(du_i[k, i], a_p, DDU[k, i])
-            tul_o[k, i] = upd(tul_i[k, i], a_p, CTU[k, i], True)
-            lul_o[k, i] = upd(lul_i[k, i], a_d, CLU[k, i], True)
-            tuu_o[k, i] = upd(tuu_i[k, i], a_p, CTV[k, i], True)
-            luu_o[k, i] = upd(luu_i[k, i], a_d, CLV[k, i], True)
-        for i in range(nx):
-            nu_o[k, i] = upd(nu_i[k, i], a_d, DNU[k, i])
-    mu_o[0, 0] = mu
-    stat_o[0, 0] = stat
+            du_o[k, i] = SDU[k, i]
+        return _
+
+    jax.lax.fori_loop(0, N, out_u, 0)
 
 
-class _BL(NamedTuple):
-    """Batch-last IP state (arrays shaped (stages, width, B))."""
+# ---------------------------------------------------------------------------
+# host-side wrapper
+# ---------------------------------------------------------------------------
 
-    dx: jnp.ndarray; du: jnp.ndarray; s: jnp.ndarray; nu: jnp.ndarray
-    t_ul: jnp.ndarray; l_ul: jnp.ndarray
-    t_uu: jnp.ndarray; l_uu: jnp.ndarray
-    t_xl: jnp.ndarray; l_xl: jnp.ndarray
-    t_xu: jnp.ndarray; l_xu: jnp.ndarray
-    t_h: jnp.ndarray; l_h: jnp.ndarray; l_s: jnp.ndarray
+@functools.partial(jax.jit, static_argnames=(
+    "nx", "nu", "N", "M", "iters", "su", "tile", "reg", "tau", "tol", "stat_tol",
+    "sigma_max", "interpret"))
+def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, tile, reg, tau, tol,
+                        stat_tol, sigma_max, interpret=False):
+    dtype = QPD.dtype
+    Bp = QPD.shape[-1]
+    grid = (Bp // tile,)
+    nbx = len(IDXBX)
+    n_pairs = float(2 * N * nu + 2 * (N + 1) * nbx + 2 * (N + 1) * M)
+    LQ, LR, LRES, LAFF, LCOR = _layouts(nx, nu, M, nbx)
+
+    def spec(stages, width):
+        return pl.BlockSpec((stages, width, tile), lambda b: (0, 0, b),
+                            memory_space=pltpu.VMEM)
+
+    def scr(stages, width):
+        return pltpu.VMEM((stages, width, tile), dtype)
+
+    kernel = functools.partial(
+        _ip_solve_kernel, nx, nu, N, M, nbx, iters, su, reg, tau, tol, stat_tol,
+        sigma_max, n_pairs, LQ, LR, LRES, LAFF, LCOR)
+
+    out_specs = (spec(N + 1, nx), spec(N, nu), spec(N + 1, M),
+                 spec(1, 1), spec(1, 1))
+    out_shape = (jax.ShapeDtypeStruct((N + 1, nx, Bp), dtype),
+                 jax.ShapeDtypeStruct((N, nu, Bp), dtype),
+                 jax.ShapeDtypeStruct((N + 1, M, Bp), dtype),
+                 jax.ShapeDtypeStruct((1, 1, Bp), dtype),
+                 jax.ShapeDtypeStruct((1, 1, Bp), dtype))
+    state_scratch = [
+        scr(N + 1, nx), scr(N, nu), scr(N + 1, M), scr(N, nx),     # dx du s nu
+        scr(N, nu), scr(N, nu), scr(N, nu), scr(N, nu),            # u pairs
+        scr(N + 1, nbx), scr(N + 1, nbx), scr(N + 1, nbx), scr(N + 1, nbx),
+        scr(N + 1, M), scr(N + 1, M), scr(N + 1, M),               # th lh ls
+    ]
+    work_scratch = [scr(N, LR.width), scr(N + 1, LRES.width),
+                    scr(N + 1, LAFF.width), scr(N + 1, LCOR.width)]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(N + 1, LQ.width)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=state_scratch + work_scratch,
+        interpret=interpret,
+    )(QPD)
 
 
 def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
                        reg: float | None = None, tol: float | None = None,
                        normalize: bool = True, tile: int = 128,
+                       stage_unroll: int | None = None,
                        interpret: bool = False):
     """Fully-fused interior-point solve. ``qp`` has one leading batch axis.
 
-    Returns an ``ops.ip_qp.IpSolution``. The per-iteration math matches
-    ``solve_ocp_qp`` (same initialization, eliminations and safeguards);
-    only the execution strategy differs: one Pallas launch per iteration,
-    batch-last layout throughout, factorization shared between predictor
-    and corrector.
+    Returns an ``ops.ip_qp.IpSolution``. The math matches ``solve_ocp_qp``
+    (same initialization, eliminations and safeguards); only the execution
+    strategy differs: the entire solve — init plus all ``iters`` Mehrotra
+    iterations — runs in ONE Pallas launch per batch tile, batch-last layout
+    throughout, state resident in VMEM, factorization shared between
+    predictor and corrector.
     """
     from doa_mpc_tpu.ops.ip_qp import IpSolution
 
@@ -487,7 +825,15 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
     N = qp.A.shape[-3]
     M = qp.C.shape[-2]
     nbx = len(IDXBX)
-    n_pairs = float(2 * N * nu + 2 * (N + 1) * nbx + 2 * (N + 1) * M)
+
+    if stage_unroll is None:
+        # Measured on v5e: unroll 4 is fastest while the footprint leaves
+        # plenty of VMEM headroom (N=20/M=5: 5.1 ms vs 6.5 ms at unroll 2),
+        # but degrades ~20x once the footprint approaches the 16 MB budget
+        # (N=40/M=8); unroll 2 stays fast at both. Odd factors hit a Mosaic
+        # vectorization cliff at any size — keep to {2, 4}.
+        stage_unroll = 4 if fused_vmem_bytes(N, M, nx, nu, nbx, tile) \
+            <= 7 * 2**20 else 2
 
     if normalize:
         qp, kappa = normalize_cost(qp)
@@ -496,131 +842,36 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
 
     pad = _round_up(max(Bt, tile), tile) - Bt
 
-    def prep(arr, flat):
+    def prep(arr, flat, stages):
         a = arr.reshape(arr.shape[:2] + (flat,))
         a = jnp.moveaxis(a, 0, -1)
         if pad:
             a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)), constant_values=1.0)
+        if a.shape[0] < stages:           # N-stage fields -> N+1 with zeros
+            a = jnp.pad(a, ((0, stages - a.shape[0]), (0, 0), (0, 0)))
         return a
 
-    qp_bl = [
-        prep(qp.Q, nx * nx), prep(qp.R, nu * nu), prep(qp.S, nu * nx),
-        prep(qp.A, nx * nx), prep(qp.B, nx * nu), prep(qp.q, nx),
-        prep(qp.r, nu), prep(qp.c, nx),
-        prep(qp.lb_u, nu), prep(qp.ub_u, nu),
-        prep(qp.lb_x, nbx), prep(qp.ub_x, nbx),
-        prep(qp.C, M * nx), prep(qp.hval, M), prep(qp.zl, M), prep(qp.Zl, M),
-    ]
+    st = N + 1
+    # field order must match _layouts
+    QPD = jnp.concatenate([
+        prep(qp.Q, nx * nx, st), prep(qp.q, nx, st), prep(qp.C, M * nx, st),
+        prep(qp.hval, M, st), prep(qp.zl, M, st), prep(qp.Zl, M, st),
+        prep(qp.lb_x, nbx, st), prep(qp.ub_x, nbx, st),
+        prep(qp.dx0[:, None, :], nx, st),
+        prep(qp.A, nx * nx, st), prep(qp.B, nx * nu, st), prep(qp.c, nx, st),
+        prep(qp.R, nu * nu, st), prep(qp.S, nu * nx, st), prep(qp.r, nu, st),
+        prep(qp.lb_u, nu, st), prep(qp.ub_u, nu, st),
+    ], axis=1)
 
-    # ---- initialization (same as solve_ocp_qp, done in XLA) -------------
-    def fwd(dxk, inp):
-        Ak, ck = inp
-        nxt = jnp.einsum("...ij,...j->...i", Ak, dxk) + ck
-        return nxt, nxt
-
-    _, dxs = jax.lax.scan(fwd, qp.dx0,
-                          (jnp.moveaxis(qp.A, 1, 0), jnp.moveaxis(qp.c, 1, 0)))
-    dx = jnp.concatenate([qp.dx0[:, None, :], jnp.moveaxis(dxs, 0, 1)], axis=1)
-    du = jnp.zeros_like(qp.r)
-    t_min = jnp.asarray(0.1, dtype)
-    g_h = qp.hval + jnp.einsum("...mi,...i->...m", qp.C, dx)
-    s0 = jnp.maximum(t_min, t_min - g_h)
-    mu0 = jnp.asarray(1.0, dtype)
-
-    def init_pair(expr):
-        t = jnp.maximum(expr, t_min)
-        return t, mu0 / t
-
-    idx = jnp.asarray(IDXBX)
-    t_ul, l_ul = init_pair(du - qp.lb_u)
-    t_uu, l_uu = init_pair(qp.ub_u - du)
-    t_xl, l_xl = init_pair(dx[..., idx] - qp.lb_x)
-    t_xu, l_xu = init_pair(qp.ub_x - dx[..., idx])
-    t_h = jnp.maximum(g_h + s0, t_min)
-    l_h = mu0 / t_h
-    l_s = mu0 / s0
-
-    st = _BL(
-        dx=prep(dx, nx), du=prep(du, nu), s=prep(s0, M),
-        nu=prep(jnp.zeros_like(qp.c), nx),
-        t_ul=prep(t_ul, nu), l_ul=prep(l_ul, nu),
-        t_uu=prep(t_uu, nu), l_uu=prep(l_uu, nu),
-        t_xl=prep(t_xl, nbx), l_xl=prep(l_xl, nbx),
-        t_xu=prep(t_xu, nbx), l_xu=prep(l_xu, nbx),
-        t_h=prep(t_h, M), l_h=prep(l_h, M), l_s=prep(l_s, M),
-    )
-
-    Bp = st.dx.shape[-1]
-    grid = (Bp // tile,)
-
-    def spec(stages, width):
-        return pl.BlockSpec((stages, width, tile), lambda b: (0, 0, b),
-                            memory_space=pltpu.VMEM)
-
-    def scr(stages, width):
-        return pltpu.VMEM((stages, width, tile), dtype)
-
-    state_specs = [
-        spec(N + 1, nx), spec(N, nu), spec(N + 1, M), spec(N, nx),
-        spec(N, nu), spec(N, nu), spec(N, nu), spec(N, nu),
-        spec(N + 1, nbx), spec(N + 1, nbx), spec(N + 1, nbx), spec(N + 1, nbx),
-        spec(N + 1, M), spec(N + 1, M), spec(N + 1, M),
-    ]
-    qp_specs = [
-        spec(N + 1, nx * nx), spec(N, nu * nu), spec(N, nu * nx),
-        spec(N, nx * nx), spec(N, nx * nu), spec(N + 1, nx), spec(N, nu),
-        spec(N, nx), spec(N, nu), spec(N, nu), spec(N + 1, nbx),
-        spec(N + 1, nbx), spec(N + 1, M * nx), spec(N + 1, M),
-        spec(N + 1, M), spec(N + 1, M),
-    ]
-    state_shapes = [jax.ShapeDtypeStruct(a.shape, dtype) for a in st]
-    kernel = functools.partial(
-        _ip_iteration_kernel, nx, nu, N, M, nbx, reg, tau, tol, stat_tol,
-        sigma_max, n_pairs)
-
-    # aff deltas: t_ul, l_ul, t_uu, l_uu, t_xl, l_xl, t_xu, l_xu,
-    #             t_h, l_h, s, l_s   (12 arrays; the s-delta is AS_)
-    aff_scratch = [
-        scr(N, nu), scr(N, nu), scr(N, nu), scr(N, nu),
-        scr(N + 1, nbx), scr(N + 1, nbx), scr(N + 1, nbx), scr(N + 1, nbx),
-        scr(N + 1, M), scr(N + 1, M), scr(N + 1, M), scr(N + 1, M),
-    ]
-    # corrector deltas: same minus the s-delta (stored in DS2) -> 11 arrays
-    cor_scratch = [
-        scr(N, nu), scr(N, nu), scr(N, nu), scr(N, nu),
-        scr(N + 1, nbx), scr(N + 1, nbx), scr(N + 1, nbx), scr(N + 1, nbx),
-        scr(N + 1, M), scr(N + 1, M), scr(N + 1, M),
-    ]
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=qp_specs + state_specs,
-        out_specs=tuple(state_specs) + (spec(1, 1), spec(1, 1)),
-        out_shape=tuple(state_shapes) + (
-            jax.ShapeDtypeStruct((1, 1, Bp), dtype),
-            jax.ShapeDtypeStruct((1, 1, Bp), dtype)),
-        scratch_shapes=(
-            [scr(N, nx * nx), scr(N, nu * nx), scr(N, 3),        # P, K, L
-             scr(N, nu), scr(N, nx),                             # KFF, PN
-             scr(N + 1, nx), scr(N, nu), scr(N, nu), scr(N, nu),  # RX RU RUL RUU
-             scr(N + 1, nbx), scr(N + 1, nbx),                   # RXL RXU
-             scr(N + 1, M), scr(N + 1, M)]                       # RH RS
-            + aff_scratch
-            + [scr(N + 1, nx), scr(N, nu), scr(N, nx), scr(N + 1, M)]
-            + cor_scratch),
-        interpret=interpret,
-    )
-
-    def iteration(carry, _):
-        outs = call(*qp_bl, *carry)
-        new_state = _BL(*outs[:15])
-        mu, stat = outs[15], outs[16]
-        return new_state, (mu[0, 0], stat[0, 0])
-
-    st, (mus, stats) = jax.lax.scan(iteration, st, None, length=iters)
+    dx, du, s, mu, stat = _ip_solve_batchlast(
+        QPD, nx=nx, nu=nu, N=N, M=M, iters=iters, su=stage_unroll,
+        tile=tile, reg=reg,
+        tau=tau, tol=tol, stat_tol=stat_tol, sigma_max=sigma_max,
+        interpret=interpret)
 
     def unprep(a):
         return jnp.moveaxis(a, -1, 0)[:Bt]
 
-    return IpSolution(dx=unprep(st.dx), du=unprep(st.du), s=unprep(st.s),
-                      mu=mus[-1][:Bt], kappa=kappa, stat_res=stats[-1][:Bt])
+    return IpSolution(dx=unprep(dx), du=unprep(du), s=unprep(s),
+                      mu=unprep(mu)[:, 0, 0], kappa=kappa,
+                      stat_res=unprep(stat)[:, 0, 0])

@@ -199,12 +199,14 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
     spec, opts = ctrl.spec, ctrl.options
     n = spec.n_solv
 
-    # The fully-fused kernel's VMEM stack grows with the unrolled horizon
-    # and constraint count; beyond ~(N=28, M=6) it exceeds the 16 MB scoped
-    # budget on v5e. Fall back to the two-call fused-Riccati backend there
-    # (next-round work: fori_loop stage loops make the stack O(1) in N).
-    if backend == "fused" and (spec.n_solv > 28 or spec.n_obst > 6):
-        backend = "pallas"
+    # The fully-fused kernel holds all QP data + IP state + work arrays in
+    # VMEM; its footprint is O(N * (M + const)). Fall back to the two-call
+    # fused-Riccati backend only if the estimate would overflow the ~16 MB
+    # core VMEM (leaving headroom for compiler temporaries).
+    if backend == "fused":
+        from doa_mpc_tpu.ops.ip_pallas import fused_vmem_bytes
+        if fused_vmem_bytes(spec.n_solv, spec.n_obst) > 14.5 * 2**20:
+            backend = "pallas"
 
     def tick(st: LoopState) -> LoopState:
         # 1. obstacle forecast (vectorized over the batch; scan over steps)
