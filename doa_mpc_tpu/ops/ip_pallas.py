@@ -99,22 +99,27 @@ def _pad8(w):
     return -(-w // 8) * 8
 
 
-def fused_vmem_bytes(N, M, nx=5, nu=2, nbx=None, tile=128, itemsize=4):
+def fused_vmem_bytes(N, M, nx=5, nu=2, nbx=None, tile=128, sb=1,
+                     itemsize=4):
     """Estimate of the kernel's VMEM footprint (inputs double-buffered).
 
-    Used by callers to decide whether the fused backend fits the ~16 MB
-    VMEM of one TPU core before paying a compile.
+    Used by callers to decide whether the fused backend (at a given
+    sublane-batch factor ``sb``) fits the ~16 MB VMEM of one TPU core
+    before paying a compile.
     """
     nbx = len(IDXBX) if nbx is None else nbx
     qpd, ric, res, aff, cor = _layouts(nx, nu, M, nbx)
     st = N + 1
-    inp = 2 * st * _pad8(qpd.width)
-    outs = 2 * (st * _pad8(nx) + N * _pad8(nu) + st * _pad8(M) + 2 * 8)
-    # state scratch: 15 separate arrays (8 sublanes each after padding):
-    # 9 at N+1 stages (dx, s, 4 x-pairs, th, lh, ls), 6 at N stages
-    state = st * 8 * 9 + N * 8 * 6
-    work = (N * _pad8(ric.width)
-            + st * (_pad8(res.width) + _pad8(aff.width) + _pad8(cor.width)))
+
+    def p(w):
+        return _pad8(w * sb)
+
+    inp = 2 * st * p(qpd.width)
+    outs = 2 * (st * p(nx) + N * p(nu) + st * p(M) + 2 * p(1))
+    state = (st * (p(nx) + 4 * p(M) + 4 * p(nbx))
+             + N * (5 * p(nu) + p(nx)))
+    work = (N * p(ric.width)
+            + st * (p(res.width) + p(aff.width) + p(cor.width)))
     return (inp + outs + state + work) * tile * itemsize
 
 
@@ -141,6 +146,36 @@ def _smat(ref, k, off, A):
     for i, row in enumerate(A):
         for j, x in enumerate(row):
             ref[k, off + i * cols + j] = x
+
+
+
+class _R:
+    """Sublane-batched ref view: element (k, i) is an (sb, 128) block.
+
+    With sb = 1 this is a transparent pass-through (values are (128,) lane
+    vectors). With sb > 1, each logical field element occupies ``sb``
+    consecutive sublanes, so every elementwise op moves sb x 128 scenarios
+    per instruction — sb/8 of the VPU instead of 1/8 — at sb x the VMEM.
+    """
+
+    __slots__ = ("ref", "s")
+
+    def __init__(self, ref, s):
+        self.ref = ref
+        self.s = s
+
+    def __getitem__(self, ix):
+        k, i = ix
+        if self.s == 1:
+            return self.ref[k, i]
+        return self.ref[k, i * self.s:(i + 1) * self.s]
+
+    def __setitem__(self, ix, val):
+        k, i = ix
+        if self.s == 1:
+            self.ref[k, i] = val
+        else:
+            self.ref[k, i * self.s:(i + 1) * self.s] = val
 
 
 def _chol_small(H, reg):
@@ -212,8 +247,9 @@ def _uloop(n, body, carry, su, reverse=False):
 # kernel
 # ---------------------------------------------------------------------------
 
-def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, reg, tau, tol, stat_tol,
-                     sigma_max, n_pairs, LQ, LR, LRES, LAFF, LCOR,
+def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
+                     stat_tol, sigma_max, n_pairs, LQ, LR, LRES, LAFF,
+                     LCOR,
                      QPD,
                      dx_o, du_o, s_o, mu_o, stat_o,
                      SDX, SDU, SS, SNU,
@@ -221,6 +257,14 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, reg, tau, tol, stat_tol,
                      STXL, SLXL, STXU, SLXU,
                      STH, SLH, SLS,
                      RIC, RES, AFFP, COR):
+    (QPD, dx_o, du_o, s_o, mu_o, stat_o,
+     SDX, SDU, SS, SNU, STUL, SLUL, STUU, SLUU,
+     STXL, SLXL, STXU, SLXU, STH, SLH, SLS,
+     RIC, RES, AFFP, COR) = [
+        _R(r, sb) for r in (QPD, dx_o, du_o, s_o, mu_o, stat_o,
+                            SDX, SDU, SS, SNU, STUL, SLUL, STUU, SLUU,
+                            STXL, SLXL, STXU, SLXU, STH, SLH, SLS,
+                            RIC, RES, AFFP, COR)]
     idxbx = list(IDXBX)
     ntri = nu * (nu + 1) // 2
     f32max = 3.0e38
@@ -750,35 +794,55 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, reg, tau, tol, stat_tol,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=(
-    "nx", "nu", "N", "M", "iters", "su", "tile", "reg", "tau", "tol", "stat_tol",
-    "sigma_max", "interpret"))
-def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, tile, reg, tau, tol,
-                        stat_tol, sigma_max, interpret=False):
+    "nx", "nu", "N", "M", "iters", "su", "sb", "tile", "reg", "tau", "tol",
+    "stat_tol", "sigma_max", "interpret"))
+def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
+                        tol, stat_tol, sigma_max, interpret=False):
     dtype = QPD.dtype
     Bp = QPD.shape[-1]
-    grid = (Bp // tile,)
+    grid = (Bp // (sb * tile),)
     nbx = len(IDXBX)
     n_pairs = float(2 * N * nu + 2 * (N + 1) * nbx + 2 * (N + 1) * M)
     LQ, LR, LRES, LAFF, LCOR = _layouts(nx, nu, M, nbx)
 
+    def pack(a):
+        """(stages, w, Bp) -> (stages, w*sb, Bp//sb): scenario
+        b*(sb*tile) + si*tile + l lands at [k, w*sb + si, b*tile + l], so
+        each logical element is an (sb, tile) sublane block in its tile."""
+        if sb == 1:
+            return a
+        stg, w, _ = a.shape
+        a = a.reshape(stg, w, Bp // (sb * tile), sb, tile)
+        a = jnp.swapaxes(a, 2, 3)
+        return a.reshape(stg, w * sb, Bp // sb)
+
+    def unpack(a):
+        if sb == 1:
+            return a
+        stg, wsb, L = a.shape
+        a = a.reshape(stg, wsb // sb, sb, L // tile, tile)
+        a = jnp.swapaxes(a, 2, 3)
+        return a.reshape(stg, wsb // sb, Bp)
+
     def spec(stages, width):
-        return pl.BlockSpec((stages, width, tile), lambda b: (0, 0, b),
+        return pl.BlockSpec((stages, width * sb, tile), lambda b: (0, 0, b),
                             memory_space=pltpu.VMEM)
 
     def scr(stages, width):
-        return pltpu.VMEM((stages, width, tile), dtype)
+        return pltpu.VMEM((stages, width * sb, tile), dtype)
 
     kernel = functools.partial(
-        _ip_solve_kernel, nx, nu, N, M, nbx, iters, su, reg, tau, tol, stat_tol,
-        sigma_max, n_pairs, LQ, LR, LRES, LAFF, LCOR)
+        _ip_solve_kernel, nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
+        stat_tol, sigma_max, n_pairs, LQ, LR, LRES, LAFF, LCOR)
 
     out_specs = (spec(N + 1, nx), spec(N, nu), spec(N + 1, M),
                  spec(1, 1), spec(1, 1))
-    out_shape = (jax.ShapeDtypeStruct((N + 1, nx, Bp), dtype),
-                 jax.ShapeDtypeStruct((N, nu, Bp), dtype),
-                 jax.ShapeDtypeStruct((N + 1, M, Bp), dtype),
-                 jax.ShapeDtypeStruct((1, 1, Bp), dtype),
-                 jax.ShapeDtypeStruct((1, 1, Bp), dtype))
+    Bs = Bp // sb
+    out_shape = (jax.ShapeDtypeStruct((N + 1, nx * sb, Bs), dtype),
+                 jax.ShapeDtypeStruct((N, nu * sb, Bs), dtype),
+                 jax.ShapeDtypeStruct((N + 1, M * sb, Bs), dtype),
+                 jax.ShapeDtypeStruct((1, sb, Bs), dtype),
+                 jax.ShapeDtypeStruct((1, sb, Bs), dtype))
     state_scratch = [
         scr(N + 1, nx), scr(N, nu), scr(N + 1, M), scr(N, nx),     # dx du s nu
         scr(N, nu), scr(N, nu), scr(N, nu), scr(N, nu),            # u pairs
@@ -787,7 +851,7 @@ def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, tile, reg, tau, tol,
     ]
     work_scratch = [scr(N, LR.width), scr(N + 1, LRES.width),
                     scr(N + 1, LAFF.width), scr(N + 1, LCOR.width)]
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[spec(N + 1, LQ.width)],
@@ -795,13 +859,15 @@ def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, tile, reg, tau, tol,
         out_shape=out_shape,
         scratch_shapes=state_scratch + work_scratch,
         interpret=interpret,
-    )(QPD)
+    )(pack(QPD))
+    return tuple(unpack(a) for a in outs)
 
 
 def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
                        reg: float | None = None, tol: float | None = None,
                        normalize: bool = True, tile: int = 128,
                        stage_unroll: int | None = None,
+                       sublane_batch: int | None = None,
                        interpret: bool = False):
     """Fully-fused interior-point solve. ``qp`` has one leading batch axis.
 
@@ -810,7 +876,9 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
     strategy differs: the entire solve — init plus all ``iters`` Mehrotra
     iterations — runs in ONE Pallas launch per batch tile, batch-last layout
     throughout, state resident in VMEM, factorization shared between
-    predictor and corrector.
+    predictor and corrector. ``sublane_batch`` packs that many batch rows
+    into the sublane axis (VPU utilization x sb at VMEM x sb); auto-selected
+    to the largest factor that fits VMEM.
     """
     from doa_mpc_tpu.ops.ip_qp import IpSolution
 
@@ -826,21 +894,28 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
     M = qp.C.shape[-2]
     nbx = len(IDXBX)
 
+    budget = 14.5 * 2**20
+    if sublane_batch is None:
+        sublane_batch = 1
+        for cand in (4, 2):
+            if fused_vmem_bytes(N, M, nx, nu, nbx, tile, cand) <= budget:
+                sublane_batch = cand
+                break
     if stage_unroll is None:
-        # Measured on v5e: unroll 4 is fastest while the footprint leaves
-        # plenty of VMEM headroom (N=20/M=5: 5.1 ms vs 6.5 ms at unroll 2),
-        # but degrades ~20x once the footprint approaches the 16 MB budget
-        # (N=40/M=8); unroll 2 stays fast at both. Odd factors hit a Mosaic
-        # vectorization cliff at any size — keep to {2, 4}.
-        stage_unroll = 4 if fused_vmem_bytes(N, M, nx, nu, nbx, tile) \
-            <= 7 * 2**20 else 2
+        # Measured on v5e: unroll 4 is fastest with VMEM headroom but
+        # degrades ~20x once the footprint nears the 16 MB budget; unroll 2
+        # stays fast everywhere. Odd factors hit a Mosaic vectorization
+        # cliff at any size — keep to {2, 4}.
+        stage_unroll = 4 if fused_vmem_bytes(
+            N, M, nx, nu, nbx, tile, sublane_batch) <= 7 * 2**20 else 2
 
     if normalize:
         qp, kappa = normalize_cost(qp)
     else:
         kappa = jnp.ones((Bt,), dtype)
 
-    pad = _round_up(max(Bt, tile), tile) - Bt
+    blk = sublane_batch * tile
+    pad = _round_up(max(Bt, blk), blk) - Bt
 
     def prep(arr, flat, stages):
         a = arr.reshape(arr.shape[:2] + (flat,))
@@ -865,7 +940,7 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
 
     dx, du, s, mu, stat = _ip_solve_batchlast(
         QPD, nx=nx, nu=nu, N=N, M=M, iters=iters, su=stage_unroll,
-        tile=tile, reg=reg,
+        sb=sublane_batch, tile=tile, reg=reg,
         tau=tau, tol=tol, stat_tol=stat_tol, sigma_max=sigma_max,
         interpret=interpret)
 
