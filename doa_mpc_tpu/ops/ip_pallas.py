@@ -88,11 +88,7 @@ def _layouts(nx, nu, M, nbx):
                   ("rs", M), ("ru", nu), ("rul", nu), ("ruu", nu))
     aff = _Layout(("pul", nu), ("puu", nu), ("pxl", nbx), ("pxu", nbx),
                   ("ph", M), ("ps", M))
-    cor = _Layout(("ddx", nx), ("ddu", nu), ("dnu", nx), ("ds", M),
-                  ("th", M), ("lh", M), ("ls", M),
-                  ("xl", nbx), ("lxl", nbx), ("xu", nbx), ("lxu", nbx),
-                  ("tu", nu), ("lu", nu), ("tv", nu), ("lv", nu))
-    return qpd, ric, res, aff, cor
+    return qpd, ric, res, aff
 
 
 def _pad8(w):
@@ -108,18 +104,21 @@ def fused_vmem_bytes(N, M, nx=5, nu=2, nbx=None, tile=128, sb=1,
     before paying a compile.
     """
     nbx = len(IDXBX) if nbx is None else nbx
-    qpd, ric, res, aff, cor = _layouts(nx, nu, M, nbx)
+    qpd, ric, res, aff = _layouts(nx, nu, M, nbx)
     st = N + 1
 
     def p(w):
         return _pad8(w * sb)
 
-    inp = 2 * st * p(qpd.width)
+    # QP data is DMA'd once per tile into a single VMEM scratch copy (no
+    # pipelined double-buffering); corrector deltas are recomputed in the
+    # apply pass, so there is no corrector scratch.
+    inp = st * p(qpd.width)
     outs = 2 * (st * p(nx) + N * p(nu) + st * p(M) + 2 * p(1))
     state = (st * (p(nx) + 4 * p(M) + 4 * p(nbx))
              + N * (5 * p(nu) + p(nx)))
     work = (N * p(ric.width)
-            + st * (p(res.width) + p(aff.width) + p(cor.width)))
+            + st * (p(res.width) + p(aff.width)))
     return (inp + outs + state + work) * tile * itemsize
 
 
@@ -249,22 +248,34 @@ def _uloop(n, body, carry, su, reverse=False):
 
 def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
                      stat_tol, sigma_max, n_pairs, LQ, LR, LRES, LAFF,
-                     LCOR,
-                     QPD,
+                     QPD_hbm,
                      dx_o, du_o, s_o, mu_o, stat_o,
+                     QPDv, dma_sem,
                      SDX, SDU, SS, SNU,
                      STUL, SLUL, STUU, SLUU,
                      STXL, SLXL, STXU, SLXU,
                      STH, SLH, SLS,
-                     RIC, RES, AFFP, COR):
+                     RIC, RES, AFFP):
+    # QP data stays in HBM (memory_space=ANY) and is copied ONCE per batch
+    # tile into a single VMEM scratch buffer — half the footprint of the
+    # pipelined double-buffering BlockSpecs would use, and the copy (a few
+    # MB at ~1 TB/s) is negligible next to the tile's multi-ms solve.
+    b = pl.program_id(0)
+    cp = pltpu.make_async_copy(QPD_hbm.at[b], QPDv, dma_sem)
+    cp.start()
+    cp.wait()
+    # outputs are leading-dim grid blocks (lane-dim blocking deadlocks when
+    # combined with manual DMA on this toolchain); drop the unit dim
+    dx_o, du_o, s_o, mu_o, stat_o = (
+        r.at[0] for r in (dx_o, du_o, s_o, mu_o, stat_o))
     (QPD, dx_o, du_o, s_o, mu_o, stat_o,
      SDX, SDU, SS, SNU, STUL, SLUL, STUU, SLUU,
      STXL, SLXL, STXU, SLXU, STH, SLH, SLS,
-     RIC, RES, AFFP, COR) = [
-        _R(r, sb) for r in (QPD, dx_o, du_o, s_o, mu_o, stat_o,
+     RIC, RES, AFFP) = [
+        _R(r, sb) for r in (QPDv, dx_o, du_o, s_o, mu_o, stat_o,
                             SDX, SDU, SS, SNU, STUL, SLUL, STUU, SLUU,
                             STXL, SLXL, STXU, SLXU, STH, SLH, SLS,
-                            RIC, RES, AFFP, COR)]
+                            RIC, RES, AFFP)]
     idxbx = list(IDXBX)
     ntri = nu * (nu + 1) // 2
     f32max = 3.0e38
@@ -580,22 +591,19 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
 
             _uloop(N, bb, qbar_at(N, corrector, mu_t), su)
 
-        def recovery(k, xk, corrector, mu_t, acc):
-            """Soft + x-box recovery at stage k from Ddx_k = xk.
+        def x_deltas(k, xk, corrector, mu_t):
+            """Soft + x-box Newton deltas at stage k given Ddx_k = xk.
 
-            acc is (a_pr, a_du, S1, S2, S3) for the affine pass
-            (S* are the mu_aff cross sums) and (a_pr, a_du, chk) for the
-            corrector. Affine stores only the dt*dl products; corrector
-            stores the deltas for the update pass.
+            Returns (soft, box): soft[m] = (ds, dt_h, dl_h, dl_s),
+            box[i] = (dt_xl, dt_xu, dl_xl, dl_xu). Pure function of the
+            (unmodified) IP state, so the apply pass can recompute the
+            exact same values the collect pass bounded the step with.
             """
             b_xl, b_xu, b_h, b_s = betas_x(k, corrector, mu_t)
             sxl, sxu = sigmas_x(k)
             sh, ss, zeta, _ = sigmas_h(k)
             CD = _mv(qm(k, "C", M, nx), xk)
-            if corrector:
-                a_pr, a_du, chk = acc
-            else:
-                a_pr, a_du, S1, S2, S3 = acc
+            soft = []
             for m in range(M):
                 rh = RES[k, LRES.o["rh"] + m]
                 rho = (-RES[k, LRES.o["rs"] + m] + b_h[m] + b_s[m]
@@ -604,108 +612,167 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
                 dth = CD[m] + ds + rh
                 dlh = b_h[m] - sh[m] * dth
                 dls = b_s[m] - ss[m] * ds
-                a_pr = ftb(ftb(a_pr, STH[k, m], dth), SS[k, m], ds)
-                a_du = ftb(ftb(a_du, SLH[k, m], dlh), SLS[k, m], dls)
-                if corrector:
-                    COR[k, LCOR.o["ds"] + m] = ds
-                    COR[k, LCOR.o["th"] + m] = dth
-                    COR[k, LCOR.o["lh"] + m] = dlh
-                    COR[k, LCOR.o["ls"] + m] = dls
-                    chk = chk + ds
-                else:
-                    AFFP[k, LAFF.o["ph"] + m] = dth * dlh
-                    AFFP[k, LAFF.o["ps"] + m] = ds * dls
-                    S1 = S1 + dth * SLH[k, m] + ds * SLS[k, m]
-                    S2 = S2 + STH[k, m] * dlh + SS[k, m] * dls
-                    S3 = S3 + dth * dlh + ds * dls
+                soft.append((ds, dth, dlh, dls))
+            box = []
             for i in range(nbx):
                 dtxl = xk[idxbx[i]] + RES[k, LRES.o["rxl"] + i]
                 dtxu = -xk[idxbx[i]] + RES[k, LRES.o["rxu"] + i]
                 dlxl = b_xl[i] - sxl[i] * dtxl
                 dlxu = b_xu[i] - sxu[i] * dtxu
+                box.append((dtxl, dtxu, dlxl, dlxu))
+            return soft, box
+
+        def u_deltas(k, xk, corrector, mu_t):
+            """Control delta uk = K xk + kff plus the u-box pair deltas."""
+            b_ul, b_uu = betas_u(k, corrector, mu_t)
+            Kk = _lm(RIC, k, LR.o["K"], nu, nx)
+            kff = _lv(RIC, k, LR.o["kff"], nu)
+            uk = _vadd(_mv(Kk, xk), kff)
+            sul, suu = sigmas_u(k)
+            ud = []
+            for i in range(nu):
+                dtul = uk[i] + RES[k, LRES.o["rul"] + i]
+                dtuu = -uk[i] + RES[k, LRES.o["ruu"] + i]
+                dlul = b_ul[i] - sul[i] * dtul
+                dluu = b_uu[i] - suu[i] * dtuu
+                ud.append((dtul, dtuu, dlul, dluu))
+            return uk, ud
+
+        def roll(k, xk, uk):
+            d = dyn_gap(k)
+            Ak = qm(k, "A", nx, nx)
+            Bk = qm(k, "B", nx, nu)
+            return _vadd(_vadd(_mv(Ak, xk), _mv(Bk, uk)), d)
+
+        def x_bounds(k, xk, soft, box, a_pr, a_du):
+            for m, (ds, dth, dlh, dls) in enumerate(soft):
+                a_pr = ftb(ftb(a_pr, STH[k, m], dth), SS[k, m], ds)
+                a_du = ftb(ftb(a_du, SLH[k, m], dlh), SLS[k, m], dls)
+            for i, (dtxl, dtxu, dlxl, dlxu) in enumerate(box):
                 a_pr = ftb(ftb(a_pr, STXL[k, i], dtxl), STXU[k, i], dtxu)
                 a_du = ftb(ftb(a_du, SLXL[k, i], dlxl), SLXU[k, i], dlxu)
-                if corrector:
-                    COR[k, LCOR.o["xl"] + i] = dtxl
-                    COR[k, LCOR.o["lxl"] + i] = dlxl
-                    COR[k, LCOR.o["xu"] + i] = dtxu
-                    COR[k, LCOR.o["lxu"] + i] = dlxu
-                else:
+            return a_pr, a_du
+
+        def forward_affine():
+            """Affine recovery pass: fraction-to-boundary bounds, the mu_aff
+            cross sums S1-S3, and the per-pair dt*dl products (stored in
+            AFFP — the corrector betas need them elementwise)."""
+            def x_part(k, xk, acc):
+                a_pr, a_du, S1, S2, S3 = acc
+                soft, box = x_deltas(k, xk, False, None)
+                a_pr, a_du = x_bounds(k, xk, soft, box, a_pr, a_du)
+                for m, (ds, dth, dlh, dls) in enumerate(soft):
+                    AFFP[k, LAFF.o["ph"] + m] = dth * dlh
+                    AFFP[k, LAFF.o["ps"] + m] = ds * dls
+                    S1 = S1 + dth * SLH[k, m] + ds * SLS[k, m]
+                    S2 = S2 + STH[k, m] * dlh + SS[k, m] * dls
+                    S3 = S3 + dth * dlh + ds * dls
+                for i, (dtxl, dtxu, dlxl, dlxu) in enumerate(box):
                     AFFP[k, LAFF.o["pxl"] + i] = dtxl * dlxl
                     AFFP[k, LAFF.o["pxu"] + i] = dtxu * dlxu
                     S1 = S1 + dtxl * SLXL[k, i] + dtxu * SLXU[k, i]
                     S2 = S2 + STXL[k, i] * dlxl + STXU[k, i] * dlxu
                     S3 = S3 + dtxl * dlxl + dtxu * dlxu
-            if corrector:
-                _svec(COR, k, LCOR.o["ddx"], xk)
-                for i in range(nx):
-                    chk = chk + xk[i]
-                return a_pr, a_du, chk
-            return a_pr, a_du, S1, S2, S3
-
-        def forward(corrector, mu_t):
-            if corrector:
-                acc0 = (jnp.full_like(mu, 2.0), jnp.full_like(mu, 2.0), zero)
-            else:
-                acc0 = (jnp.full_like(mu, 2.0), jnp.full_like(mu, 2.0),
-                        zero, zero, zero)
+                return (a_pr, a_du, S1, S2, S3)
 
             def fb(k, carry):
                 xk, acc = carry
-                acc = recovery(k, xk, corrector, mu_t, acc)
-                b_ul, b_uu = betas_u(k, corrector, mu_t)
-                Kk = _lm(RIC, k, LR.o["K"], nu, nx)
-                kff = _lv(RIC, k, LR.o["kff"], nu)
-                uk = _vadd(_mv(Kk, xk), kff)
-                sul, suu = sigmas_u(k)
-                if corrector:
-                    a_pr, a_du, chk = acc
-                else:
-                    a_pr, a_du, S1, S2, S3 = acc
-                for i in range(nu):
-                    dtul = uk[i] + RES[k, LRES.o["rul"] + i]
-                    dtuu = -uk[i] + RES[k, LRES.o["ruu"] + i]
-                    dlul = b_ul[i] - sul[i] * dtul
-                    dluu = b_uu[i] - suu[i] * dtuu
+                acc = x_part(k, xk, acc)
+                a_pr, a_du, S1, S2, S3 = acc
+                uk, ud = u_deltas(k, xk, False, None)
+                for i, (dtul, dtuu, dlul, dluu) in enumerate(ud):
                     a_pr = ftb(ftb(a_pr, STUL[k, i], dtul), STUU[k, i], dtuu)
                     a_du = ftb(ftb(a_du, SLUL[k, i], dlul), SLUU[k, i], dluu)
-                    if corrector:
-                        COR[k, LCOR.o["tu"] + i] = dtul
-                        COR[k, LCOR.o["lu"] + i] = dlul
-                        COR[k, LCOR.o["tv"] + i] = dtuu
-                        COR[k, LCOR.o["lv"] + i] = dluu
-                    else:
-                        AFFP[k, LAFF.o["pul"] + i] = dtul * dlul
-                        AFFP[k, LAFF.o["puu"] + i] = dtuu * dluu
-                        S1 = S1 + dtul * SLUL[k, i] + dtuu * SLUU[k, i]
-                        S2 = S2 + STUL[k, i] * dlul + STUU[k, i] * dluu
-                        S3 = S3 + dtul * dlul + dtuu * dluu
-                if corrector:
-                    _svec(COR, k, LCOR.o["ddu"], uk)
-                    for i in range(nu):
-                        chk = chk + uk[i]
-                    acc = (a_pr, a_du, chk)
-                else:
-                    acc = (a_pr, a_du, S1, S2, S3)
-                d = dyn_gap(k)
-                Ak = qm(k, "A", nx, nx)
-                Bk = qm(k, "B", nx, nu)
-                xn = _vadd(_vadd(_mv(Ak, xk), _mv(Bk, uk)), d)
-                if corrector:
-                    Pk1 = _lm(RIC, k, LR.o["P"], nx, nx)
-                    pn = _lv(RIC, k, LR.o["pn"], nx)
-                    Px = _mv(Pk1, xn)
-                    _svec(COR, k, LCOR.o["dnu"],
-                          [-(Px[i] + pn[i]) for i in range(nx)])
-                return xn, acc
+                    AFFP[k, LAFF.o["pul"] + i] = dtul * dlul
+                    AFFP[k, LAFF.o["puu"] + i] = dtuu * dluu
+                    S1 = S1 + dtul * SLUL[k, i] + dtuu * SLUU[k, i]
+                    S2 = S2 + STUL[k, i] * dlul + STUU[k, i] * dluu
+                    S3 = S3 + dtul * dlul + dtuu * dluu
+                return roll(k, xk, uk), (a_pr, a_du, S1, S2, S3)
 
             xk0 = [zero for _ in range(nx)]
-            xk, acc = _uloop(N, lambda k, c: fb(k, c), (xk0, acc0), su)
-            return recovery(N, xk, corrector, mu_t, acc)
+            acc0 = (jnp.full_like(mu, 2.0), jnp.full_like(mu, 2.0),
+                    zero, zero, zero)
+            xk, acc = _uloop(N, fb, (xk0, acc0), su)
+            return x_part(N, xk, acc)
+
+        def forward_collect(mu_t):
+            """Corrector step bounds + finiteness probe. Nothing is stored:
+            the apply pass recomputes the identical deltas once a_p/a_d are
+            known, which removes the whole corrector-delta scratch array
+            (the state is only mutated in the apply pass, so both passes
+            see the same inputs)."""
+            def x_part(k, xk, acc):
+                a_pr, a_du, chk = acc
+                soft, box = x_deltas(k, xk, True, mu_t)
+                a_pr, a_du = x_bounds(k, xk, soft, box, a_pr, a_du)
+                for ds, _, _, _ in soft:
+                    chk = chk + ds
+                for i in range(nx):
+                    chk = chk + xk[i]
+                return (a_pr, a_du, chk)
+
+            def fb(k, carry):
+                xk, acc = carry
+                acc = x_part(k, xk, acc)
+                a_pr, a_du, chk = acc
+                uk, ud = u_deltas(k, xk, True, mu_t)
+                for i, (dtul, dtuu, dlul, dluu) in enumerate(ud):
+                    a_pr = ftb(ftb(a_pr, STUL[k, i], dtul), STUU[k, i], dtuu)
+                    a_du = ftb(ftb(a_du, SLUL[k, i], dlul), SLUU[k, i], dluu)
+                for i in range(nu):
+                    chk = chk + uk[i]
+                return roll(k, xk, uk), (a_pr, a_du, chk)
+
+            xk0 = [zero for _ in range(nx)]
+            acc0 = (jnp.full_like(mu, 2.0), jnp.full_like(mu, 2.0), zero)
+            xk, acc = _uloop(N, fb, (xk0, acc0), su)
+            return x_part(N, xk, acc)
+
+        def forward_apply(mu_t, a_p, a_d, upd):
+            """Recompute the corrector deltas and apply the masked update
+            in place. Per stage the order is: compute every delta from the
+            OLD state (x/soft, u, rollout to x_{k+1}, costate), then mutate
+            stage k — stage k+1 still reads untouched state next step."""
+            def x_apply(k, xk, soft, box):
+                for i in range(nx):
+                    SDX[k, i] = upd(SDX[k, i], a_p, xk[i])
+                for m, (ds, dth, dlh, dls) in enumerate(soft):
+                    SS[k, m] = upd(SS[k, m], a_p, ds, True)
+                    STH[k, m] = upd(STH[k, m], a_p, dth, True)
+                    SLH[k, m] = upd(SLH[k, m], a_d, dlh, True)
+                    SLS[k, m] = upd(SLS[k, m], a_d, dls, True)
+                for i, (dtxl, dtxu, dlxl, dlxu) in enumerate(box):
+                    STXL[k, i] = upd(STXL[k, i], a_p, dtxl, True)
+                    SLXL[k, i] = upd(SLXL[k, i], a_d, dlxl, True)
+                    STXU[k, i] = upd(STXU[k, i], a_p, dtxu, True)
+                    SLXU[k, i] = upd(SLXU[k, i], a_d, dlxu, True)
+
+            def fb(k, xk):
+                soft, box = x_deltas(k, xk, True, mu_t)
+                uk, ud = u_deltas(k, xk, True, mu_t)
+                xn = roll(k, xk, uk)
+                Pk1 = _lm(RIC, k, LR.o["P"], nx, nx)
+                pn = _lv(RIC, k, LR.o["pn"], nx)
+                Px = _mv(Pk1, xn)
+                x_apply(k, xk, soft, box)
+                for i, (dtul, dtuu, dlul, dluu) in enumerate(ud):
+                    SDU[k, i] = upd(SDU[k, i], a_p, uk[i])
+                    STUL[k, i] = upd(STUL[k, i], a_p, dtul, True)
+                    SLUL[k, i] = upd(SLUL[k, i], a_d, dlul, True)
+                    STUU[k, i] = upd(STUU[k, i], a_p, dtuu, True)
+                    SLUU[k, i] = upd(SLUU[k, i], a_d, dluu, True)
+                for i in range(nx):
+                    SNU[k, i] = upd(SNU[k, i], a_d, -(Px[i] + pn[i]))
+                return xn
+
+            xk = _uloop(N, fb, [zero for _ in range(nx)], su)
+            soft, box = x_deltas(N, xk, True, mu_t)
+            x_apply(N, xk, soft, box)
 
         # ================= predictor ======================================
         backward(False, None)
-        ap_raw, ad_raw, S1, S2, S3 = forward(False, None)
+        ap_raw, ad_raw, S1, S2, S3 = forward_affine()
         ap_aff = jnp.minimum(ap_raw, 1.0)
         ad_aff = jnp.minimum(ad_raw, 1.0)
         mu_aff = (mu * n_pairs + ap_aff * S1 + ad_aff * S2
@@ -715,7 +782,7 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
 
         # ================= corrector ======================================
         backward(True, mu_t)
-        ap_raw, ad_raw, chk = forward(True, mu_t)
+        ap_raw, ad_raw, chk = forward_collect(mu_t)
         a_p = jnp.minimum(tau * ap_raw, 1.0)
         a_d = jnp.minimum(tau * ad_raw, 1.0)
 
@@ -732,36 +799,8 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
                 v = jnp.maximum(v, tiny)
             return jnp.where(frozen, old, v)
 
-        # ================= state update ===================================
-        def upd_x(k, _):
-            for i in range(nx):
-                SDX[k, i] = upd(SDX[k, i], a_p, COR[k, LCOR.o["ddx"] + i])
-            for m in range(M):
-                SS[k, m] = upd(SS[k, m], a_p, COR[k, LCOR.o["ds"] + m], True)
-                STH[k, m] = upd(STH[k, m], a_p, COR[k, LCOR.o["th"] + m], True)
-                SLH[k, m] = upd(SLH[k, m], a_d, COR[k, LCOR.o["lh"] + m], True)
-                SLS[k, m] = upd(SLS[k, m], a_d, COR[k, LCOR.o["ls"] + m], True)
-            for i in range(nbx):
-                STXL[k, i] = upd(STXL[k, i], a_p, COR[k, LCOR.o["xl"] + i], True)
-                SLXL[k, i] = upd(SLXL[k, i], a_d, COR[k, LCOR.o["lxl"] + i], True)
-                STXU[k, i] = upd(STXU[k, i], a_p, COR[k, LCOR.o["xu"] + i], True)
-                SLXU[k, i] = upd(SLXU[k, i], a_d, COR[k, LCOR.o["lxu"] + i], True)
-            return _
-
-        _uloop(N + 1, upd_x, 0, su)
-
-        def upd_u(k, _):
-            for i in range(nu):
-                SDU[k, i] = upd(SDU[k, i], a_p, COR[k, LCOR.o["ddu"] + i])
-                STUL[k, i] = upd(STUL[k, i], a_p, COR[k, LCOR.o["tu"] + i], True)
-                SLUL[k, i] = upd(SLUL[k, i], a_d, COR[k, LCOR.o["lu"] + i], True)
-                STUU[k, i] = upd(STUU[k, i], a_p, COR[k, LCOR.o["tv"] + i], True)
-                SLUU[k, i] = upd(SLUU[k, i], a_d, COR[k, LCOR.o["lv"] + i], True)
-            for i in range(nx):
-                SNU[k, i] = upd(SNU[k, i], a_d, COR[k, LCOR.o["dnu"] + i])
-            return _
-
-        _uloop(N, upd_u, 0, su)
+        # ================= state update (recompute + apply) ===============
+        forward_apply(mu_t, a_p, a_d, upd)
 
         # mu/stat of the *current* iterate (pre-update), like the per-launch
         # kernel's outputs — the last write wins, matching mus[-1]/stats[-1].
@@ -803,29 +842,28 @@ def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
     grid = (Bp // (sb * tile),)
     nbx = len(IDXBX)
     n_pairs = float(2 * N * nu + 2 * (N + 1) * nbx + 2 * (N + 1) * M)
-    LQ, LR, LRES, LAFF, LCOR = _layouts(nx, nu, M, nbx)
+    LQ, LR, LRES, LAFF = _layouts(nx, nu, M, nbx)
+
+    nt = Bp // (sb * tile)
 
     def pack(a):
-        """(stages, w, Bp) -> (stages, w*sb, Bp//sb): scenario
-        b*(sb*tile) + si*tile + l lands at [k, w*sb + si, b*tile + l], so
-        each logical element is an (sb, tile) sublane block in its tile."""
-        if sb == 1:
-            return a
+        """(stages, w, Bp) -> (nt, stages, w*sb, tile): scenario
+        b*(sb*tile) + si*tile + l lands at [b, k, w*sb + si, l]. The grid
+        dimension leads so each tile's QP data is one contiguous block the
+        kernel DMAs with a single ``.at[b]`` copy."""
         stg, w, _ = a.shape
-        a = a.reshape(stg, w, Bp // (sb * tile), sb, tile)
-        a = jnp.swapaxes(a, 2, 3)
-        return a.reshape(stg, w * sb, Bp // sb)
+        a = a.reshape(stg, w, nt, sb, tile)
+        return jnp.transpose(a, (2, 0, 1, 3, 4)).reshape(nt, stg, w * sb, tile)
 
     def unpack(a):
-        if sb == 1:
-            return a
-        stg, wsb, L = a.shape
-        a = a.reshape(stg, wsb // sb, sb, L // tile, tile)
-        a = jnp.swapaxes(a, 2, 3)
-        return a.reshape(stg, wsb // sb, Bp)
+        """(nt, stages, w*sb, tile) -> (stages, w, Bp), inverse of pack."""
+        _, stg, wsb, _ = a.shape
+        a = a.reshape(nt, stg, wsb // sb, sb, tile)
+        return jnp.transpose(a, (1, 2, 0, 3, 4)).reshape(stg, wsb // sb, Bp)
 
-    def spec(stages, width):
-        return pl.BlockSpec((stages, width * sb, tile), lambda b: (0, 0, b),
+    def ospec(stages, width):
+        return pl.BlockSpec((1, stages, width * sb, tile),
+                            lambda b: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def scr(stages, width):
@@ -833,16 +871,15 @@ def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
 
     kernel = functools.partial(
         _ip_solve_kernel, nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
-        stat_tol, sigma_max, n_pairs, LQ, LR, LRES, LAFF, LCOR)
+        stat_tol, sigma_max, n_pairs, LQ, LR, LRES, LAFF)
 
-    out_specs = (spec(N + 1, nx), spec(N, nu), spec(N + 1, M),
-                 spec(1, 1), spec(1, 1))
-    Bs = Bp // sb
-    out_shape = (jax.ShapeDtypeStruct((N + 1, nx * sb, Bs), dtype),
-                 jax.ShapeDtypeStruct((N, nu * sb, Bs), dtype),
-                 jax.ShapeDtypeStruct((N + 1, M * sb, Bs), dtype),
-                 jax.ShapeDtypeStruct((1, sb, Bs), dtype),
-                 jax.ShapeDtypeStruct((1, sb, Bs), dtype))
+    out_specs = (ospec(N + 1, nx), ospec(N, nu), ospec(N + 1, M),
+                 ospec(1, 1), ospec(1, 1))
+    out_shape = (jax.ShapeDtypeStruct((nt, N + 1, nx * sb, tile), dtype),
+                 jax.ShapeDtypeStruct((nt, N, nu * sb, tile), dtype),
+                 jax.ShapeDtypeStruct((nt, N + 1, M * sb, tile), dtype),
+                 jax.ShapeDtypeStruct((nt, 1, sb, tile), dtype),
+                 jax.ShapeDtypeStruct((nt, 1, sb, tile), dtype))
     state_scratch = [
         scr(N + 1, nx), scr(N, nu), scr(N + 1, M), scr(N, nx),     # dx du s nu
         scr(N, nu), scr(N, nu), scr(N, nu), scr(N, nu),            # u pairs
@@ -850,14 +887,15 @@ def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
         scr(N + 1, M), scr(N + 1, M), scr(N + 1, M),               # th lh ls
     ]
     work_scratch = [scr(N, LR.width), scr(N + 1, LRES.width),
-                    scr(N + 1, LAFF.width), scr(N + 1, LCOR.width)]
+                    scr(N + 1, LAFF.width)]
+    dma_scratch = [scr(N + 1, LQ.width), pltpu.SemaphoreType.DMA]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec(N + 1, LQ.width)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=state_scratch + work_scratch,
+        scratch_shapes=dma_scratch + state_scratch + work_scratch,
         interpret=interpret,
     )(pack(QPD))
     return tuple(unpack(a) for a in outs)
