@@ -847,27 +847,34 @@ def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
     nt = Bp // (sb * tile)
 
     def pack(a):
-        """(stages, w, Bp) -> (nt, stages, w*sb, tile): scenario
+        """(stages, w, Bp) -> (nt, stages, pad8(w*sb), tile): scenario
         b*(sb*tile) + si*tile + l lands at [b, k, w*sb + si, l]. The grid
         dimension leads so each tile's QP data is one contiguous block the
-        kernel DMAs with a single ``.at[b]`` copy."""
+        kernel DMAs with a single ``.at[b]`` copy. The sublane dim is padded
+        to a multiple of 8: Mosaic faults (or hangs) on DMA/output blocks
+        whose sublane width is not a whole number of f32 (8, 128) tiles."""
         stg, w, _ = a.shape
         a = a.reshape(stg, w, nt, sb, tile)
-        return jnp.transpose(a, (2, 0, 1, 3, 4)).reshape(nt, stg, w * sb, tile)
+        a = jnp.transpose(a, (2, 0, 1, 3, 4)).reshape(nt, stg, w * sb, tile)
+        padw = _pad8(w * sb) - w * sb
+        if padw:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, padw), (0, 0)))
+        return a
 
-    def unpack(a):
-        """(nt, stages, w*sb, tile) -> (stages, w, Bp), inverse of pack."""
-        _, stg, wsb, _ = a.shape
-        a = a.reshape(nt, stg, wsb // sb, sb, tile)
-        return jnp.transpose(a, (1, 2, 0, 3, 4)).reshape(stg, wsb // sb, Bp)
+    def unpack(a, w):
+        """(nt, stages, pad8(w*sb), tile) -> (stages, w, Bp): inverse of
+        pack for the logical field width ``w`` (tail padding dropped)."""
+        _, stg, _, _ = a.shape
+        a = a[:, :, :w * sb].reshape(nt, stg, w, sb, tile)
+        return jnp.transpose(a, (1, 2, 0, 3, 4)).reshape(stg, w, Bp)
 
     def ospec(stages, width):
-        return pl.BlockSpec((1, stages, width * sb, tile),
+        return pl.BlockSpec((1, stages, _pad8(width * sb), tile),
                             lambda b: (b, 0, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def scr(stages, width):
-        return pltpu.VMEM((stages, width * sb, tile), dtype)
+        return pltpu.VMEM((stages, _pad8(width * sb), tile), dtype)
 
     kernel = functools.partial(
         _ip_solve_kernel, nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
@@ -875,11 +882,12 @@ def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
 
     out_specs = (ospec(N + 1, nx), ospec(N, nu), ospec(N + 1, M),
                  ospec(1, 1), ospec(1, 1))
-    out_shape = (jax.ShapeDtypeStruct((nt, N + 1, nx * sb, tile), dtype),
-                 jax.ShapeDtypeStruct((nt, N, nu * sb, tile), dtype),
-                 jax.ShapeDtypeStruct((nt, N + 1, M * sb, tile), dtype),
-                 jax.ShapeDtypeStruct((nt, 1, sb, tile), dtype),
-                 jax.ShapeDtypeStruct((nt, 1, sb, tile), dtype))
+    out_shape = (
+        jax.ShapeDtypeStruct((nt, N + 1, _pad8(nx * sb), tile), dtype),
+        jax.ShapeDtypeStruct((nt, N, _pad8(nu * sb), tile), dtype),
+        jax.ShapeDtypeStruct((nt, N + 1, _pad8(M * sb), tile), dtype),
+        jax.ShapeDtypeStruct((nt, 1, _pad8(sb), tile), dtype),
+        jax.ShapeDtypeStruct((nt, 1, _pad8(sb), tile), dtype))
     state_scratch = [
         scr(N + 1, nx), scr(N, nu), scr(N + 1, M), scr(N, nx),     # dx du s nu
         scr(N, nu), scr(N, nu), scr(N, nu), scr(N, nu),            # u pairs
@@ -898,7 +906,8 @@ def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
         scratch_shapes=dma_scratch + state_scratch + work_scratch,
         interpret=interpret,
     )(pack(QPD))
-    return tuple(unpack(a) for a in outs)
+    widths = (nx, nu, M, 1, 1)
+    return tuple(unpack(a, w) for a, w in zip(outs, widths))
 
 
 def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,

@@ -181,7 +181,8 @@ def make_tick(ctrl: RtiController, goal, params: CostParams,
 
 
 def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
-                      random_move: bool = True, backend: str = "xla"):
+                      random_move: bool = True, backend: str = "xla",
+                      sublane_batch: int | None = None):
     """Natively-batched control tick with pluggable QP backend.
 
     Unlike ``vmap(make_tick(...))`` this calls the interior-point solver on
@@ -189,9 +190,13 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
 
     - ``'xla'``:    pure-XLA Riccati scans (works everywhere; slowest)
     - ``'pallas'``: fused Riccati kernels inside the XLA IP loop (~5x)
-    - ``'fused'``:  one fused Pallas launch per IP iteration — residuals,
-      Hessians, factorization, predictor+corrector and the update all in
-      VMEM (``ops/ip_pallas.py``; ~7x over 'pallas' again)
+    - ``'fused'``:  the whole interior-point solve in one Pallas launch per
+      batch tile — residuals, Hessians, factorization, predictor+corrector
+      and the update all in VMEM (``ops/ip_pallas.py``; ~7x over 'pallas')
+
+    ``sublane_batch`` is forwarded to the fused kernel (None = auto-select
+    the largest factor that fits VMEM); exposed so tuning scripts can pin
+    it without monkey-patching the solver module.
     """
     from doa_mpc_tpu.ops.ip_qp import solve_ocp_qp
     from doa_mpc_tpu.ops.ip_pallas import solve_ocp_qp_fused
@@ -221,7 +226,8 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
 
         # 3. one batched interior-point solve
         if backend == "fused":
-            sol = solve_ocp_qp_fused(qp, iters=opts.qp_iter, tau=opts.ip_tau)
+            sol = solve_ocp_qp_fused(qp, iters=opts.qp_iter, tau=opts.ip_tau,
+                                     sublane_batch=sublane_batch)
         else:
             sol = solve_ocp_qp(qp, iters=opts.qp_iter, tau=opts.ip_tau,
                                backend=backend)

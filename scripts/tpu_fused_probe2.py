@@ -1,5 +1,6 @@
 import sys; sys.path.insert(0, "."); sys.path.insert(0, "tests")
 import importlib.util
+import inspect
 import numpy as np
 import jax, jax.numpy as jnp
 
@@ -19,10 +20,12 @@ qp = jax.tree.map(lambda x: jnp.tile(x, (16,) + (1,) * (x.ndim - 1)), qp)
 
 ref = solve_ocp_qp(qp, iters=10)
 print("xla mu:", np.asarray(ref.mu)[:4], flush=True)
+# decide from the signature whether this (possibly historical) module
+# takes sublane_batch — catching TypeError around the call would also
+# swallow TypeErrors raised *inside* the solve and mislabel the result
 kw = dict(iters=10)
-try:
-    fus = mod.solve_ocp_qp_fused(qp, sublane_batch=sb, **kw)
-except TypeError:
-    fus = mod.solve_ocp_qp_fused(qp, **kw)
+if "sublane_batch" in inspect.signature(mod.solve_ocp_qp_fused).parameters:
+    kw["sublane_batch"] = sb
+fus = mod.solve_ocp_qp_fused(qp, **kw)
 print(f"fused({path}) sb={sb} mu:", np.asarray(fus.mu)[:4], flush=True)
 print("max |dx diff|:", np.abs(np.asarray(fus.dx) - np.asarray(ref.dx)).max(), flush=True)

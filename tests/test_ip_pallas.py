@@ -68,3 +68,42 @@ def test_fused_converges_to_same_solution_interpret():
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(fus.du), np.asarray(ref.du),
                                atol=2e-3)
+
+
+def test_fused_block_sublane_widths_are_tile_aligned():
+    """Every DMA'd / output / scratch sublane width must be a multiple of 8.
+
+    The Mosaic toolchain faults the TPU worker (or hangs it) when a manual
+    DMA target or an output block has a sublane width that is not a whole
+    number of f32 (8, 128) tiles — this killed the round-1 bench. Trace the
+    wrapper and assert the invariant on the lowered pallas_call shapes.
+    """
+    from doa_mpc_tpu.ops import ip_pallas
+
+    recorded = []
+    orig = ip_pallas.pl.pallas_call
+
+    def spy(kernel, *, grid, in_specs, out_specs, out_shape, scratch_shapes,
+            **kw):
+        for s in out_shape:
+            recorded.append(("out", s.shape))
+        for s in scratch_shapes:
+            shape = getattr(s, "shape", None)
+            if shape is not None:
+                recorded.append(("scratch", tuple(shape)))
+        return orig(kernel, grid=grid, in_specs=in_specs,
+                    out_specs=out_specs, out_shape=out_shape,
+                    scratch_shapes=scratch_shapes, **kw)
+
+    batched = _batched(N=3, M=2, seed_scale=2.0)
+    ip_pallas.pl.pallas_call = spy
+    try:
+        jax.eval_shape(lambda qp: ip_pallas.solve_ocp_qp_fused(
+            qp, iters=1, interpret=True), batched)
+    finally:
+        ip_pallas.pl.pallas_call = orig
+
+    assert recorded, "pallas_call was never reached"
+    for kind, shape in recorded:
+        sublane = shape[-2]
+        assert sublane % 8 == 0, (kind, shape)
