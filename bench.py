@@ -4,8 +4,8 @@ The reference controller's implicit real-time budget is one RTI solve per
 dt = TF/N = 0.1 s control tick (``world_specification.py:43-44``), i.e. 10
 solves/s on its CPU. This benchmark runs the full production control tick
 (obstacle forecast -> RTI linearize -> batched interior-point QP with the
-fused Pallas Riccati kernel -> plant step -> noisy world step -> metrics)
-for ``BATCH`` concurrent scenarios on one chip and reports throughput in MPC
+fused Pallas kernel -> plant step -> noisy world step -> metrics) for
+``BATCH`` concurrent scenarios on one chip and reports throughput in MPC
 solves per second.
 
 ``vs_baseline`` = solves/s/chip divided by the reference's 10 solves/s
@@ -16,22 +16,33 @@ is unreliable through remote-tunnel platforms), so ticks are chained inside
 one jitted scan and a dependent scalar is fetched to the host — wall time /
 TICKS is the true steady-state per-tick latency.
 
-Prints exactly one JSON line.
+Resilience: a Pallas kernel fault kills the whole TPU worker process, which
+a single-process benchmark cannot recover from (this lost the round-1
+headline number to a toolchain drift). So the measurement runs in a child
+process per backend, best backend first; if a backend crashes or hangs the
+parent falls back to the next one and the bench still lands a number.
+
+Prints exactly one JSON line (the last line of stdout).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 BATCH = 4096
 TICKS = 20
 QP_ITER = 20
-BACKEND = "fused"
+BACKENDS = ("fused", "pallas", "xla")
+ATTEMPT_TIMEOUT_S = 420
+HANG_RECOVERY_S = 480
 
 
-def main():
+def measure(backend):
+    import jax
+    import jax.numpy as jnp
+
     from doa_mpc_tpu.config import SolverOptions, WorldSpec, default_cost_params
     from doa_mpc_tpu.sim.closed_loop import init_loop_state, make_batched_tick
     from doa_mpc_tpu.sim.obstacles import robot_start_goal
@@ -47,25 +58,25 @@ def main():
 
     state = init_loop_state(jax.random.PRNGKey(0), ctrl, start, goal,
                             "RANDOM", batch_shape=(BATCH,))
-    tick = make_batched_tick(ctrl, goal, params, backend=BACKEND)
+    tick = make_batched_tick(ctrl, goal, params, backend=backend)
 
-    def make_run(n):
-        @jax.jit
-        def run(st):
-            def body(s, _):
-                return tick(s), None
-            final, _ = jax.lax.scan(body, st, None, length=n)
-            return final, jnp.sum(final.x0)
-        return run
+    @jax.jit
+    def run(st):
+        def body(s, _):
+            return tick(s), None
+        final, _ = jax.lax.scan(body, st, None, length=TICKS)
+        return final, jnp.sum(final.x0)
 
-    # single compile: first call compiles + warms, second is timed
-    run = make_run(TICKS)
+    # single compile: first call compiles + warms; then best-of-3 timed
+    # repeats (the remote tunnel adds run-to-run jitter on the ms scale)
     final, chk = run(state)
     float(chk)
-    t0 = time.perf_counter()
-    final, chk = run(state)
-    float(chk)
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        final, chk = run(state)
+        float(chk)
+        elapsed = min(elapsed, time.perf_counter() - t0)
     tick_s = elapsed / TICKS
     solves_per_s = BATCH / tick_s
 
@@ -76,11 +87,41 @@ def main():
         "vs_baseline": round(solves_per_s / 10.0, 2),
         "batch": BATCH,
         "qp_iter": QP_ITER,
-        "backend": BACKEND,
+        "backend": backend,
         "mean_tick_s": round(tick_s, 5),
         "realtime_ok": bool(tick_s < 0.1),
-    }))
+    }), flush=True)
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    for i, backend in enumerate(BACKENDS):
+        cmd = [sys.executable, os.path.abspath(__file__), backend]
+        try:
+            res = subprocess.run(
+                cmd, cwd=here, timeout=ATTEMPT_TIMEOUT_S,
+                capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            # a hung kernel wedges the device well past the client's death;
+            # give the platform watchdog time to clear it before retrying
+            print(f"# backend {backend}: timed out; waiting for device "
+                  "recovery", file=sys.stderr, flush=True)
+            if i + 1 < len(BACKENDS):
+                time.sleep(HANG_RECOVERY_S)
+            continue
+        if res.returncode == 0 and res.stdout.strip():
+            print(res.stdout.strip().splitlines()[-1], flush=True)
+            return 0
+        tail = "\n".join(res.stderr.strip().splitlines()[-3:])
+        print(f"# backend {backend}: rc={res.returncode}\n{tail}",
+              file=sys.stderr, flush=True)
+    print("# all backends failed", file=sys.stderr, flush=True)
+    return 1
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        measure(sys.argv[1])
+    else:
+        sys.exit(main())
