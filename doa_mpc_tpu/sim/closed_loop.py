@@ -228,6 +228,18 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
         if backend == "fused":
             sol = solve_ocp_qp_fused(qp, iters=opts.qp_iter, tau=opts.ip_tau,
                                      sublane_batch=sublane_batch)
+        elif backend == "zero":
+            # profiling aid: skip the solve (zero step) so the remaining
+            # "glue" — forecast, linearization, plant, world, metrics —
+            # can be timed in isolation
+            from doa_mpc_tpu.ops.ip_qp import IpSolution
+            sol = IpSolution(
+                dx=jnp.zeros_like(st.rti.x_traj),
+                du=jnp.zeros_like(st.rti.u_traj),
+                s=jnp.zeros(qp.hval.shape, qp.hval.dtype),
+                mu=jnp.zeros(qp.dx0.shape[:1], qp.dx0.dtype),
+                kappa=jnp.ones(qp.dx0.shape[:1], qp.dx0.dtype),
+                stat_res=jnp.zeros(qp.dx0.shape[:1], qp.dx0.dtype))
         else:
             sol = solve_ocp_qp(qp, iters=opts.qp_iter, tau=opts.ip_tau,
                                backend=backend)
