@@ -119,3 +119,18 @@ def test_scenarios():
     assert bool(jnp.all(e.pos == 7.0))
     for s in (r, c, e):
         assert bool(jnp.all(jnp.abs(s.vel) <= SPEC.v_max_obst))
+
+
+def test_predict_closed_form_matches_scan_many_bounces():
+    # the closed-form triangle-wave fold must track the explicit step
+    # recursion through MANY wall reflections (n=400 at v~2 crosses the
+    # 16-wide box multiple times), in production f32
+    from doa_mpc_tpu.sim.obstacles import _predict_trajectory_scan
+
+    key = jax.random.PRNGKey(9)
+    state = generate_obstacles(key, SPEC, "RANDOM", batch_shape=(16,),
+                               dtype=jnp.float32)
+    fold = predict_trajectory(state, SPEC, 400)
+    scan = _predict_trajectory_scan(state, SPEC, 400)
+    np.testing.assert_allclose(np.asarray(fold), np.asarray(scan), atol=2e-4)
+    assert bool(jnp.all(fold >= -8.0)) and bool(jnp.all(fold <= 8.0))
