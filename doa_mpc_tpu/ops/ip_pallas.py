@@ -46,6 +46,7 @@ affine scratch.
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -53,10 +54,121 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from doa_mpc_tpu.ops.ocp_qp import IDXBX, OcpQp, normalize_cost
-from doa_mpc_tpu.ops.riccati_pallas import _madd, _mm, _mt, _mv, _round_up, _vadd
+from doa_mpc_tpu.ops.riccati_pallas import _round_up
 
 _T_FLOOR = 1e-12
 _ZL_FLOOR = 1e-6
+
+
+# ---------------------------------------------------------------------------
+# QP structure declaration (trace-time specialization)
+# ---------------------------------------------------------------------------
+
+class QpStructure(NamedTuple):
+    """Static structure guarantees about the QP data, exploited at trace
+    time: structurally-zero/unit entries are never packed, DMA'd, or
+    multiplied — the kernel's small-matrix algebra folds them away via the
+    symbolic-zero helpers below. One kernel body serves every structure.
+
+    For the unicycle + circular obstacles + LINEAR_LS model family
+    (``solver/sqp_rti.build_qp``) this drops the packed QP width ~45%:
+    Q/R are diagonal, S == 0, the obstacle-constraint Jacobian C only has
+    (x, y) columns, the dynamics Jacobian A has exact identity x/y columns
+    (the vector field does not depend on position), and Zl == zl.
+    """
+
+    q_diag: bool = False           # Q is diagonal -> pack nx, not nx^2
+    r_diag: bool = False           # R is diagonal -> pack nu, not nu^2
+    s_zero: bool = False           # S == 0 -> not packed at all
+    c_cols: tuple | None = None    # C's (possibly) nonzero columns
+    a_unit_cols: tuple = ()        # columns j with A[:, j] == e_j exactly
+    zl_eq_zl2: bool = False        # Zl == zl -> pack once
+
+    @property
+    def a_cols(self):
+        return self.a_unit_cols
+
+
+GENERIC_STRUCTURE = QpStructure()
+
+
+# ---------------------------------------------------------------------------
+# symbolic-zero small-matrix algebra
+#
+# Entries are either traced (sb, 128) vectors or Python floats standing for
+# compile-time constants (0.0 / 1.0 from the declared structure). Zero and
+# unit terms vanish at trace time, so the same kernel algebra specializes
+# itself to whatever structure the caller declared.
+# ---------------------------------------------------------------------------
+
+def _is0(a):
+    return isinstance(a, (int, float)) and a == 0.0
+
+
+def _is1(a):
+    return isinstance(a, (int, float)) and a == 1.0
+
+
+def _smul(a, b):
+    if _is0(a) or _is0(b):
+        return 0.0
+    if _is1(a):
+        return b
+    if _is1(b):
+        return a
+    return a * b
+
+
+def _sadd(a, b):
+    if _is0(a):
+        return b
+    if _is0(b):
+        return a
+    return a + b
+
+
+def _ssub(a, b):
+    if _is0(b):
+        return a
+    if _is0(a):
+        return -b
+    return a - b
+
+
+def _mm(A, B):
+    k, n = len(B), len(B[0])
+    out = []
+    for Ai in A:
+        row = []
+        for j in range(n):
+            acc = 0.0
+            for l in range(k):
+                acc = _sadd(acc, _smul(Ai[l], B[l][j]))
+            row.append(acc)
+        out.append(row)
+    return out
+
+
+def _mt(A):
+    return [[A[j][i] for j in range(len(A))] for i in range(len(A[0]))]
+
+
+def _mv(A, x):
+    out = []
+    for Ai in A:
+        acc = 0.0
+        for j in range(len(x)):
+            acc = _sadd(acc, _smul(Ai[j], x[j]))
+        out.append(acc)
+    return out
+
+
+def _madd(A, B):
+    return [[_sadd(a, b) for a, b in zip(ra, rb)] for ra, rb in zip(A, B)]
+
+
+def _vadd(x, y):
+    return [_sadd(a, b) for a, b in zip(x, y)]
 
 
 # ---------------------------------------------------------------------------
@@ -75,13 +187,23 @@ class _Layout:
         self.width = w
 
 
-def _layouts(nx, nu, M, nbx):
+def _layouts(nx, nu, M, nbx, st=None):
+    st = st or GENERIC_STRUCTURE
     ntri = nu * (nu + 1) // 2
-    qpd = _Layout(
-        ("Q", nx * nx), ("q", nx), ("C", M * nx), ("h", M), ("zl", M),
-        ("Zl", M), ("lbx", nbx), ("ubx", nbx), ("dx0", nx),
-        ("A", nx * nx), ("B", nx * nu), ("c", nx), ("R", nu * nu),
-        ("S", nu * nx), ("r", nu), ("lbu", nu), ("ubu", nu))
+    ncc = len(st.c_cols) if st.c_cols is not None else nx
+    na = nx - len(st.a_unit_cols)
+    fields = [
+        ("Q", nx if st.q_diag else nx * nx), ("q", nx), ("C", M * ncc),
+        ("h", M), ("zl", M)]
+    if not st.zl_eq_zl2:
+        fields.append(("Zl", M))
+    fields += [("lbx", nbx), ("ubx", nbx), ("dx0", nx),
+               ("A", nx * na), ("B", nx * nu), ("c", nx),
+               ("R", nu if st.r_diag else nu * nu)]
+    if not st.s_zero:
+        fields.append(("S", nu * nx))
+    fields += [("r", nu), ("lbu", nu), ("ubu", nu)]
+    qpd = _Layout(*fields)
     ric = _Layout(("P", nx * nx), ("K", nu * nx), ("L", ntri),
                   ("kff", nu), ("pn", nx))
     res = _Layout(("rx", nx), ("rxl", nbx), ("rxu", nbx), ("rh", M),
@@ -96,7 +218,7 @@ def _pad8(w):
 
 
 def fused_vmem_bytes(N, M, nx=5, nu=2, nbx=None, tile=128, sb=1,
-                     itemsize=4):
+                     itemsize=4, structure=None):
     """Estimate of the kernel's VMEM footprint (inputs double-buffered).
 
     Used by callers to decide whether the fused backend (at a given
@@ -104,7 +226,7 @@ def fused_vmem_bytes(N, M, nx=5, nu=2, nbx=None, tile=128, sb=1,
     before paying a compile.
     """
     nbx = len(IDXBX) if nbx is None else nbx
-    qpd, ric, res, aff = _layouts(nx, nu, M, nbx)
+    qpd, ric, res, aff = _layouts(nx, nu, M, nbx, structure)
     st = N + 1
 
     def p(w):
@@ -247,7 +369,7 @@ def _uloop(n, body, carry, su, reverse=False):
 # ---------------------------------------------------------------------------
 
 def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
-                     stat_tol, sigma_max, n_pairs, LQ, LR, LRES, LAFF,
+                     stat_tol, sigma_max, n_pairs, ST, LQ, LR, LRES, LAFF,
                      QPD_hbm,
                      dx_o, du_o, s_o, mu_o, stat_o,
                      QPDv, dma_sem,
@@ -285,6 +407,31 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
         return _lv(QPD, k, LQ.o[name], n)
 
     def qm(k, name, rows, cols):
+        """Load a stage matrix, rebuilding declared structure symbolically:
+        structurally-zero/unit entries come back as Python floats, which the
+        symbolic algebra (_smul/_sadd) folds away at trace time."""
+        if name == "Q" and ST.q_diag:
+            d = _lv(QPD, k, LQ.o["Q"], nx)
+            return [[d[i] if i == j else 0.0 for j in range(nx)]
+                    for i in range(nx)]
+        if name == "R" and ST.r_diag:
+            d = _lv(QPD, k, LQ.o["R"], nu)
+            return [[d[i] if i == j else 0.0 for j in range(nu)]
+                    for i in range(nu)]
+        if name == "S" and ST.s_zero:
+            return [[0.0] * nx for _ in range(nu)]
+        if name == "C" and ST.c_cols is not None:
+            vals = _lm(QPD, k, LQ.o["C"], M, len(ST.c_cols))
+            cmap = {c: i for i, c in enumerate(ST.c_cols)}
+            return [[vals[m][cmap[j]] if j in cmap else 0.0
+                     for j in range(nx)] for m in range(M)]
+        if name == "A" and ST.a_unit_cols:
+            kept = [j for j in range(nx) if j not in ST.a_unit_cols]
+            vals = _lm(QPD, k, LQ.o["A"], nx, len(kept))
+            kmap = {c: i for i, c in enumerate(kept)}
+            return [[(1.0 if i == j else 0.0) if j in ST.a_unit_cols
+                     else vals[i][kmap[j]] for j in range(nx)]
+                    for i in range(nx)]
         return _lm(QPD, k, LQ.o[name], rows, cols)
 
     def sdx(k):
@@ -354,7 +501,8 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
 
     # ================= per-iteration helpers ==============================
     def Zl_at(k):
-        return [jnp.maximum(QPD[k, LQ.o["Zl"] + m], _ZL_FLOOR)
+        name = "zl" if ST.zl_eq_zl2 else "Zl"
+        return [jnp.maximum(QPD[k, LQ.o[name] + m], _ZL_FLOOR)
                 for m in range(M)]
 
     def sig(l, t):
@@ -422,7 +570,7 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
                 acc[idxbx[i]] = acc[idxbx[i]] - (SLXL[k, i] - SLXU[k, i])
             Ctl = _mv(_mt(qm(k, "C", M, nx)), _lv(SLH, k, 0, M))
             for i in range(nx):
-                v = acc[i] - Ctl[i]
+                v = _ssub(acc[i], Ctl[i])
                 RES[k, LRES.o["rx"] + i] = v
                 if stat is not None:
                     stat = jnp.maximum(stat, jnp.abs(v))
@@ -466,7 +614,8 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
                 for j in range(i, nx):
                     acc = Qk[i][j]
                     for m in range(M):
-                        acc = acc + Ck[m][i] * seff[m] * Ck[m][j]
+                        acc = _sadd(acc, _smul(_smul(Ck[m][i], seff[m]),
+                                               Ck[m][j]))
                     Qk[i][j] = acc
                     if j != i:
                         Qk[j][i] = acc
@@ -500,7 +649,12 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
             return [[0.5 * (Pk[i][j] + Pk[j][i]) for j in range(nx)]
                     for i in range(nx)]
 
-        _uloop(N, lambda i, P: fac_body(i, P), Qbar_at(N), su)
+        # the fori_loop carry must be all-traced: Qbar(N)'s structural-zero
+        # entries (Python floats) would change the carry pytree after the
+        # first stage densifies P
+        P_N = [[zero + e if isinstance(e, float) else e for e in row]
+               for row in Qbar_at(N)]
+        _uloop(N, lambda i, P: fac_body(i, P), P_N, su)
 
         # ================= direction machinery ============================
         def betas_x(k, corrector, mu_t):
@@ -554,7 +708,7 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
                        - sh[m] * rh)
                 bh_hat.append(b_h[m] - sh[m] * rh - sh[m] * rho / zeta[m])
             Ctb = _mv(_mt(Ck), bh_hat)
-            return [acc[i] - Ctb[i] for i in range(nx)]
+            return [_ssub(acc[i], Ctb[i]) for i in range(nx)]
 
         def rbar_at(k, corrector, mu_t):
             b_ul, b_uu = betas_u(k, corrector, mu_t)
@@ -834,15 +988,16 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
 
 @functools.partial(jax.jit, static_argnames=(
     "nx", "nu", "N", "M", "iters", "su", "sb", "tile", "reg", "tau", "tol",
-    "stat_tol", "sigma_max", "interpret"))
+    "stat_tol", "sigma_max", "structure", "interpret"))
 def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
-                        tol, stat_tol, sigma_max, interpret=False):
+                        tol, stat_tol, sigma_max,
+                        structure=GENERIC_STRUCTURE, interpret=False):
     dtype = QPD.dtype
     Bp = QPD.shape[-1]
     grid = (Bp // (sb * tile),)
     nbx = len(IDXBX)
     n_pairs = float(2 * N * nu + 2 * (N + 1) * nbx + 2 * (N + 1) * M)
-    LQ, LR, LRES, LAFF = _layouts(nx, nu, M, nbx)
+    LQ, LR, LRES, LAFF = _layouts(nx, nu, M, nbx, structure)
 
     nt = Bp // (sb * tile)
 
@@ -878,7 +1033,7 @@ def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
 
     kernel = functools.partial(
         _ip_solve_kernel, nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
-        stat_tol, sigma_max, n_pairs, LQ, LR, LRES, LAFF)
+        stat_tol, sigma_max, n_pairs, structure, LQ, LR, LRES, LAFF)
 
     out_specs = (ospec(N + 1, nx), ospec(N, nu), ospec(N + 1, M),
                  ospec(1, 1), ospec(1, 1))
@@ -915,6 +1070,7 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
                        normalize: bool = True, tile: int = 128,
                        stage_unroll: int | None = None,
                        sublane_batch: int | None = None,
+                       structure: QpStructure | None = None,
                        interpret: bool = False):
     """Fully-fused interior-point solve. ``qp`` has one leading batch axis.
 
@@ -926,9 +1082,16 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
     predictor and corrector. ``sublane_batch`` packs that many batch rows
     into the sublane axis (VPU utilization x sb at VMEM x sb); auto-selected
     to the largest factor that fits VMEM.
+
+    ``structure`` declares static structure of the QP data (diagonal Q/R,
+    zero S, sparse C/A columns, Zl == zl); structurally-trivial entries are
+    neither packed nor computed with. The CALLER asserts the declaration —
+    wrong declarations silently solve a different QP
+    (``tests/test_ip_pallas.py`` pins ``sqp_rti.UNICYCLE_QP_STRUCTURE``).
     """
     from doa_mpc_tpu.ops.ip_qp import IpSolution
 
+    structure = structure or GENERIC_STRUCTURE
     dtype = qp.Q.dtype
     is32 = dtype == jnp.float32
     tol = (1e-7 if is32 else 1e-10) if tol is None else tol
@@ -945,7 +1108,8 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
     if sublane_batch is None:
         sublane_batch = 1
         for cand in (4, 2):
-            if fused_vmem_bytes(N, M, nx, nu, nbx, tile, cand) <= budget:
+            if fused_vmem_bytes(N, M, nx, nu, nbx, tile, cand,
+                                structure=structure) <= budget:
                 sublane_batch = cand
                 break
     if stage_unroll is None:
@@ -954,7 +1118,8 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         # stays fast everywhere. Odd factors hit a Mosaic vectorization
         # cliff at any size — keep to {2, 4}.
         stage_unroll = 4 if fused_vmem_bytes(
-            N, M, nx, nu, nbx, tile, sublane_batch) <= 7 * 2**20 else 2
+            N, M, nx, nu, nbx, tile, sublane_batch,
+            structure=structure) <= 7 * 2**20 else 2
 
     if normalize:
         qp, kappa = normalize_cost(qp)
@@ -974,22 +1139,40 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         return a
 
     st = N + 1
+    diag = lambda a: jnp.diagonal(a, axis1=-2, axis2=-1)
     # field order must match _layouts
-    QPD = jnp.concatenate([
-        prep(qp.Q, nx * nx, st), prep(qp.q, nx, st), prep(qp.C, M * nx, st),
-        prep(qp.hval, M, st), prep(qp.zl, M, st), prep(qp.Zl, M, st),
-        prep(qp.lb_x, nbx, st), prep(qp.ub_x, nbx, st),
-        prep(qp.dx0[:, None, :], nx, st),
-        prep(qp.A, nx * nx, st), prep(qp.B, nx * nu, st), prep(qp.c, nx, st),
-        prep(qp.R, nu * nu, st), prep(qp.S, nu * nx, st), prep(qp.r, nu, st),
-        prep(qp.lb_u, nu, st), prep(qp.ub_u, nu, st),
-    ], axis=1)
+    fields = [prep(diag(qp.Q), nx, st) if structure.q_diag
+              else prep(qp.Q, nx * nx, st),
+              prep(qp.q, nx, st)]
+    if structure.c_cols is not None:
+        ncc = len(structure.c_cols)
+        fields.append(prep(qp.C[..., list(structure.c_cols)], M * ncc, st))
+    else:
+        fields.append(prep(qp.C, M * nx, st))
+    fields += [prep(qp.hval, M, st), prep(qp.zl, M, st)]
+    if not structure.zl_eq_zl2:
+        fields.append(prep(qp.Zl, M, st))
+    fields += [prep(qp.lb_x, nbx, st), prep(qp.ub_x, nbx, st),
+               prep(qp.dx0[:, None, :], nx, st)]
+    if structure.a_unit_cols:
+        kept = [j for j in range(nx) if j not in structure.a_unit_cols]
+        fields.append(prep(qp.A[..., kept], nx * len(kept), st))
+    else:
+        fields.append(prep(qp.A, nx * nx, st))
+    fields += [prep(qp.B, nx * nu, st), prep(qp.c, nx, st),
+               prep(diag(qp.R), nu, st) if structure.r_diag
+               else prep(qp.R, nu * nu, st)]
+    if not structure.s_zero:
+        fields.append(prep(qp.S, nu * nx, st))
+    fields += [prep(qp.r, nu, st),
+               prep(qp.lb_u, nu, st), prep(qp.ub_u, nu, st)]
+    QPD = jnp.concatenate(fields, axis=1)
 
     dx, du, s, mu, stat = _ip_solve_batchlast(
         QPD, nx=nx, nu=nu, N=N, M=M, iters=iters, su=stage_unroll,
         sb=sublane_batch, tile=tile, reg=reg,
         tau=tau, tol=tol, stat_tol=stat_tol, sigma_max=sigma_max,
-        interpret=interpret)
+        structure=structure, interpret=interpret)
 
     def unprep(a):
         return jnp.moveaxis(a, -1, 0)[:Bt]

@@ -200,9 +200,14 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
     """
     from doa_mpc_tpu.ops.ip_qp import solve_ocp_qp
     from doa_mpc_tpu.ops.ip_pallas import solve_ocp_qp_fused
+    from doa_mpc_tpu.solver.sqp_rti import UNICYCLE_QP_STRUCTURE
 
     spec, opts = ctrl.spec, ctrl.options
     n = spec.n_solv
+    # every QP here comes from ctrl.build_qp, whose static structure
+    # (diagonal cost, zero S, position-only C columns, identity x/y columns
+    # of A, Zl == zl) the fused kernel exploits at trace time
+    structure = UNICYCLE_QP_STRUCTURE
 
     # The fully-fused kernel holds all QP data + IP state + work arrays in
     # VMEM; its footprint is O(N * (M + const)). Fall back to the two-call
@@ -210,7 +215,8 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
     # core VMEM (leaving headroom for compiler temporaries).
     if backend == "fused":
         from doa_mpc_tpu.ops.ip_pallas import fused_vmem_bytes
-        if fused_vmem_bytes(spec.n_solv, spec.n_obst) > 14.5 * 2**20:
+        if fused_vmem_bytes(spec.n_solv, spec.n_obst,
+                            structure=structure) > 14.5 * 2**20:
             backend = "pallas"
 
     def tick(st: LoopState) -> LoopState:
@@ -227,7 +233,8 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
         # 3. one batched interior-point solve
         if backend == "fused":
             sol = solve_ocp_qp_fused(qp, iters=opts.qp_iter, tau=opts.ip_tau,
-                                     sublane_batch=sublane_batch)
+                                     sublane_batch=sublane_batch,
+                                     structure=structure)
         elif backend == "zero":
             # profiling aid: skip the solve (zero step) so the remaining
             # "glue" — forecast, linearization, plant, world, metrics —

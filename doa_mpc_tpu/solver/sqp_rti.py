@@ -42,8 +42,23 @@ import jax.numpy as jnp
 from doa_mpc_tpu.config import CostParams, SolverOptions, WorldSpec
 from doa_mpc_tpu.models.unicycle import obstacle_h, obstacle_h_jac
 from doa_mpc_tpu.ops.integrators import make_integrator
+from doa_mpc_tpu.ops.ip_pallas import QpStructure
 from doa_mpc_tpu.ops.ocp_qp import BIG_BOUND, IDXBX, OcpQp
 from doa_mpc_tpu.ops.ip_qp import IpSolution, solve_ocp_qp
+
+# Static structure of every QP that build_qp() produces, declared for the
+# fused kernel's trace-time specialization (ops/ip_pallas.QpStructure):
+# the LINEAR_LS Gauss-Newton cost is diagonal (Q, R) with no cross term
+# (S == 0) and equal L1/L2 slack weights (Zl == zl per
+# robot_ocp_problem.py:120-122); the circular-obstacle constraint gradient
+# only has (x, y) components; and the dynamics Jacobian's x/y columns are
+# exact identity columns because the unicycle vector field
+# (robot_model.py:39-43) does not depend on position — a property any
+# one-step integrator (RK4/IRK) of it inherits.
+# tests/test_ip_pallas.py verifies build_qp satisfies every clause.
+UNICYCLE_QP_STRUCTURE = QpStructure(
+    q_diag=True, r_diag=True, s_zero=True,
+    c_cols=(0, 1), a_unit_cols=(0, 1), zl_eq_zl2=True)
 
 
 class RtiState(NamedTuple):

@@ -107,3 +107,74 @@ def test_fused_block_sublane_widths_are_tile_aligned():
     for kind, shape in recorded:
         sublane = shape[-2]
         assert sublane % 8 == 0, (kind, shape)
+
+
+def _controller_qp(n_scen=4, N=6, M=3):
+    """Batched QP from the real controller's build_qp (satisfies the
+    declared unicycle structure by construction)."""
+    from doa_mpc_tpu.config import SolverOptions, WorldSpec, default_cost_params
+    from doa_mpc_tpu.sim.closed_loop import init_loop_state
+    from doa_mpc_tpu.sim.obstacles import predict_trajectory, robot_start_goal
+    from doa_mpc_tpu.solver.sqp_rti import make_rti_controller
+
+    spec = WorldSpec(tf=0.1 * N, n_solv=N, n_obst=M, qp_iter=10)
+    opts = SolverOptions(qp_iter=10, integrator="rk4")
+    ctrl = make_rti_controller(spec, opts, dtype=jnp.float32)
+    params = default_cost_params(spec, dtype=jnp.float32)
+    start, goal = robot_start_goal(spec)
+    state = init_loop_state(jax.random.PRNGKey(7), ctrl, start, goal,
+                            "RANDOM", batch_shape=(n_scen,))
+    pred = predict_trajectory(state.obst, spec, N)
+    pred = jnp.moveaxis(pred, 0, 1)
+    return jax.vmap(
+        lambda rti, x0, p: ctrl.build_qp(rti, x0, goal, p, params)
+    )(state.rti, state.x0, pred)
+
+
+def test_build_qp_satisfies_declared_unicycle_structure():
+    """The structure declaration is a CONTRACT: the fused kernel never
+    reads the entries declared trivial, so build_qp must actually produce
+    them as exact zeros / exact identity columns."""
+    from doa_mpc_tpu.solver.sqp_rti import UNICYCLE_QP_STRUCTURE as ST
+
+    qp = _controller_qp()
+    nx = qp.A.shape[-1]
+
+    assert ST.q_diag and ST.r_diag and ST.s_zero and ST.zl_eq_zl2
+    offdiag = np.asarray(qp.Q) * (1 - np.eye(nx))
+    np.testing.assert_array_equal(offdiag, 0.0)
+    offdiag_r = np.asarray(qp.R) * (1 - np.eye(qp.R.shape[-1]))
+    np.testing.assert_array_equal(offdiag_r, 0.0)
+    np.testing.assert_array_equal(np.asarray(qp.S), 0.0)
+    np.testing.assert_array_equal(np.asarray(qp.zl), np.asarray(qp.Zl))
+
+    dropped_c = [j for j in range(nx) if j not in ST.c_cols]
+    np.testing.assert_array_equal(np.asarray(qp.C[..., dropped_c]), 0.0)
+
+    eye = np.eye(nx, dtype=np.float32)
+    for j in ST.a_unit_cols:
+        np.testing.assert_array_equal(
+            np.asarray(qp.A[..., :, j]),
+            np.broadcast_to(eye[:, j], qp.A.shape[:-1]))
+
+
+@slow
+def test_fused_structured_matches_generic_interpret():
+    """Declaring the structure must not change the math: structured and
+    generic fused solves agree on controller-built QPs. (Kept tiny —
+    interpret mode costs minutes per solve; TPU-side A/B at the production
+    config showed bitwise-equal chained-solve checksums, see
+    scripts/tpu_qp_sweep.py.)"""
+    from doa_mpc_tpu.ops.ip_pallas import solve_ocp_qp_fused
+    from doa_mpc_tpu.solver.sqp_rti import UNICYCLE_QP_STRUCTURE
+
+    qp = _controller_qp(n_scen=2, N=3, M=2)
+    gen = solve_ocp_qp_fused(qp, iters=2, interpret=True)
+    st = solve_ocp_qp_fused(qp, iters=2, interpret=True,
+                            structure=UNICYCLE_QP_STRUCTURE)
+    np.testing.assert_allclose(np.asarray(st.dx), np.asarray(gen.dx),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.du), np.asarray(gen.du),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.mu), np.asarray(gen.mu),
+                               rtol=1e-5)
