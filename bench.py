@@ -36,7 +36,38 @@ TICKS = 20
 QP_ITER = 20
 BACKENDS = ("fused", "pallas", "xla")
 ATTEMPT_TIMEOUT_S = 420
-HANG_RECOVERY_S = 480
+PROBE_TIMEOUT_S = 90
+PROBE_RETRY_S = 120
+PROBE_BUDGET_S = 2400
+
+
+def probe_device():
+    """Child-process device health check: a trivial matmul must complete.
+
+    A Pallas fault/hang can wedge the (remote-tunnel) device for many
+    minutes after the offending client dies; burning a 420 s backend
+    attempt against a wedged device both wastes the budget and mislabels
+    a healthy backend as broken. rc 0 = healthy."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.ones((256, 256))
+    print("probe", float((x @ x).sum()), flush=True)
+
+
+def wait_for_device(deadline):
+    while True:
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--probe"],
+                timeout=PROBE_TIMEOUT_S, capture_output=True, text=True)
+            if res.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return False
+        print("# device wedged; retrying probe", file=sys.stderr, flush=True)
+        time.sleep(PROBE_RETRY_S)
 
 
 def measure(backend):
@@ -95,19 +126,19 @@ def measure(backend):
 
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
-    for i, backend in enumerate(BACKENDS):
+    deadline = time.time() + PROBE_BUDGET_S
+    for backend in BACKENDS:
+        if not wait_for_device(deadline):
+            print("# device never recovered", file=sys.stderr, flush=True)
+            break
         cmd = [sys.executable, os.path.abspath(__file__), backend]
         try:
             res = subprocess.run(
                 cmd, cwd=here, timeout=ATTEMPT_TIMEOUT_S,
                 capture_output=True, text=True)
         except subprocess.TimeoutExpired:
-            # a hung kernel wedges the device well past the client's death;
-            # give the platform watchdog time to clear it before retrying
-            print(f"# backend {backend}: timed out; waiting for device "
-                  "recovery", file=sys.stderr, flush=True)
-            if i + 1 < len(BACKENDS):
-                time.sleep(HANG_RECOVERY_S)
+            print(f"# backend {backend}: timed out",
+                  file=sys.stderr, flush=True)
             continue
         if res.returncode == 0 and res.stdout.strip():
             print(res.stdout.strip().splitlines()[-1], flush=True)
@@ -120,7 +151,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        probe_device()
+    elif len(sys.argv) > 1:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         measure(sys.argv[1])
     else:
