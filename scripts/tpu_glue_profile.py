@@ -1,0 +1,110 @@
+"""Time the non-QP ("glue") phases of the batched tick individually.
+
+Each phase is scan-chained TICKS times inside one jit with a dependent
+scalar fetched (the only reliable timing method through the remote tunnel).
+Phases:
+  forecast   closed-form obstacle trajectory prediction
+  buildqp    GN linearization + QP assembly (includes forecast input)
+  world      noisy obstacle world step incl. per-row PRNG key splits
+  plant      RK4 plant integration
+  noqp       the full glue tick (zero QP step) for reference
+
+Usage: python scripts/tpu_glue_profile.py [B]
+"""
+
+import sys
+sys.path.insert(0, ".")
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+TICKS = 20
+
+from doa_mpc_tpu.config import SolverOptions, WorldSpec, default_cost_params
+from doa_mpc_tpu.sim.closed_loop import init_loop_state, make_batched_tick
+from doa_mpc_tpu.sim.obstacles import (
+    ObstacleState, obstacle_step, predict_trajectory, robot_start_goal,
+)
+from doa_mpc_tpu.solver.sqp_rti import make_rti_controller
+
+dtype = jnp.float32
+spec = WorldSpec(tf=2.0, n_solv=20, qp_iter=10)
+opts = SolverOptions(qp_iter=10, integrator="rk4")
+ctrl = make_rti_controller(spec, opts, dtype=dtype)
+params = default_cost_params(spec, dtype=dtype)
+start, goal = robot_start_goal(spec)
+start, goal = start.astype(dtype), goal.astype(dtype)
+st0 = init_loop_state(jax.random.PRNGKey(0), ctrl, start, goal, "RANDOM",
+                      batch_shape=(B,))
+
+
+def timeit(name, fn, *args):
+    out = jax.block_until_ready(jax.jit(fn)(*args))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(jax.jit(fn)(*args))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:10s}: {best / TICKS * 1e3:7.3f} ms/tick", flush=True)
+    return out
+
+
+def chain(step):
+    def run(carry):
+        def body(c, _):
+            return step(c), None
+        final, _ = jax.lax.scan(body, carry, None, length=TICKS)
+        return final
+    return run
+
+
+# forecast: obstacles -> predicted trajectories, fed back via a cheap dep
+def f_forecast(carry):
+    pos, vel = carry
+    pred = predict_trajectory(ObstacleState(pos, vel), spec, spec.n_solv)
+    return pos + 1e-6 * pred[0], vel
+
+timeit("forecast", chain(f_forecast), (st0.obst.pos, st0.obst.vel))
+
+
+# buildqp: forecast + GN linearize + assemble (dep through x0)
+def f_buildqp(carry):
+    x0, rti = carry
+    pred = predict_trajectory(st0.obst, spec, spec.n_solv)
+    pred = jnp.moveaxis(pred, 0, 1)
+    qp = jax.vmap(
+        lambda r, x, p: ctrl.build_qp(r, x, goal, p, params)
+    )(rti, x0, pred)
+    return x0 + 1e-6 * qp.qvec[:, 0, :5], rti
+
+timeit("buildqp", chain(f_buildqp), (st0.x0, st0.rti))
+
+
+# world: per-row key split + noisy obstacle bounce step
+def f_world(carry):
+    key, pos, vel = carry
+    keys = jax.vmap(jax.random.split)(key)
+    key, sub = keys[:, 0], keys[:, 1]
+    ob = jax.vmap(
+        lambda k, p, v: obstacle_step(k, ObstacleState(p, v), spec)
+    )(sub, pos, vel)
+    return key, ob.pos, ob.vel
+
+timeit("world", chain(f_world), (st0.key, st0.obst.pos, st0.obst.vel))
+
+
+# plant: RK4 integration of the robot
+def f_plant(carry):
+    x0 = carry
+    u = 0.01 * x0[:, :2]
+    return ctrl.integrate(x0, u)
+
+timeit("plant", chain(f_plant), st0.x0)
+
+
+# full glue for reference
+tick = make_batched_tick(ctrl, goal, params, backend="zero")
+timeit("noqp", chain(tick), st0)
