@@ -178,3 +178,30 @@ class SolverOptions:
     ip_tau: float = 0.99         # fraction-to-boundary factor
     ip_reg: float = 1e-9         # static Cholesky regularization
     ip_mu_min: float = 1e-10     # complementarity floor
+
+    # --- acados status-4 reset path (robot_ocp_problem.py:203-205) --------
+    # Every bundled baseline run has init_guess_when_error=True
+    # (test_data/*spec.json "init_guess": true): when the QP solver fails,
+    # the reference calls set_initial_guess(), which (a) resets the solver's
+    # warm start to a stationary guess and (b) — via the aliasing bug at
+    # robot_ocp_problem.py:301-302 (``x_guess = self.x0; x_guess[3:] = 0``)
+    # — zeroes the PLANT's velocity state, an accidental emergency brake.
+    # The analogue of "HPIPM failed within qp_solver_iter_max": the
+    # interior point did not converge to (fail_mu_tol, fail_stat_tol) within
+    # its fixed qp_iter budget (both measured on the normalized QP, exactly
+    # the solver's own freeze criterion in ops/ip_qp.py:363).
+    init_guess_when_error: bool = False
+    fail_mu_tol: float = 1e-7    # duality-measure convergence threshold
+    fail_stat_tol: float = 1e-4  # stationarity-residual threshold
+    # On failure, also reproduce the plant-velocity-zeroing alias bug (only
+    # meaningful with init_guess="current"; the interpolate variant never
+    # aliases self.x0 and therefore never brakes the plant).
+    compat_brake_bug: bool = True
+
+    # Initial-guess strategy (set_initial_guess, robot_ocp_problem.py:286-306):
+    # - "current":     every stage at x0 with v, omega zeroed (the active code)
+    # - "interpolate": the commented straight-line variant (:293-300), bugs
+    #   reproduced — x never actually interpolates (x0 + i/N*(x0-x0)), psi is
+    #   atan2(dy, 0) = +-pi/2 — matching the two bundled interpolate_init runs
+    #   (test_data/20221031_2251*/2254*).
+    init_guess: str = "current"

@@ -19,10 +19,20 @@ Per tick, mirroring :184-258 in order:
 
 Note: the reference continues simulating after a collision — only reaching
 the goal (or the tick budget) ends a run; ``hit`` is judged afterwards from
-``min_margin <= 0`` (:277). Reproduced exactly. The acados status-4 reset
-path (:203-205) has no analogue: the interior-point solve is fixed-iteration
-and cannot "fail"; divergence control is the masked step-length safeguard
-inside the solver.
+``min_margin <= 0`` (:277). Reproduced exactly.
+
+The acados status-4 reset path (:203-205) — active in EVERY bundled baseline
+run (``test_data/*spec.json`` has ``"init_guess": true`` throughout) — is
+reproduced behind ``SolverOptions.init_guess_when_error``: a row whose
+interior point did not converge within its fixed ``qp_iter`` budget (the
+analogue of HPIPM hitting ``qp_solver_iter_max``, which acados maps to NLP
+status 4) takes the reference's reset branch as a masked select: the warm
+start resets to the stationary guess AND, because ``set_initial_guess``
+aliases ``self.x0`` (``x_guess = self.x0; x_guess[3:] = 0``,
+robot_ocp_problem.py:301-302), the PLANT's velocity is zeroed before this
+tick's integration — an accidental emergency brake that the reference's
+baseline statistics depend on. The failed solve's u0 is still applied (the
+reference reads u before resetting, :198 vs :203).
 """
 
 from __future__ import annotations
@@ -52,6 +62,7 @@ class LoopState(NamedTuple):
     min_margin: jnp.ndarray  # () running min margin to any obstacle (:222-228)
     dist: jnp.ndarray        # () last distance to goal (:247)
     steps: jnp.ndarray       # () int32 — reference's returned i (:277)
+    resets: jnp.ndarray      # () int32 — status-4 analogue firings (:203-205)
 
 
 class LoopMetrics(NamedTuple):
@@ -87,7 +98,7 @@ def init_loop_state(key, ctrl: RtiController, x_init, goal,
     obst = generate_obstacles(kobs, spec, scenario, batch_shape, dtype=dtype)
 
     def one(x):
-        return ctrl.cold_start(x)
+        return ctrl.initial_guess(x, jnp.asarray(goal, x.dtype))
 
     if batch_shape:
         x_init = jnp.broadcast_to(x_init, tuple(batch_shape) + x_init.shape[-1:])
@@ -112,6 +123,7 @@ def init_loop_state(key, ctrl: RtiController, x_init, goal,
         min_margin=jnp.full(batch_shape, jnp.inf, dtype),
         dist=dist0,
         steps=jnp.zeros(batch_shape, jnp.int32),
+        resets=jnp.zeros(batch_shape, jnp.int32),
     )
 
 
@@ -133,10 +145,24 @@ def make_parametric_tick(ctrl: RtiController, random_move: bool = True):
         # pred: (N+1, M, 2)
 
         # 2-3. one real-time iteration from the warm start
-        rti_new, u0, _ = ctrl.rti_step(st.rti, st.x0, goal, pred, params)
+        rti_new, u0, sol = ctrl.rti_step(st.rti, st.x0, goal, pred, params)
+
+        # status-4 analogue (robot_ocp_problem.py:203-205; docstring above).
+        # The failed u0 is applied regardless (reference reads u first).
+        x0_eff = st.x0
+        resets = st.resets
+        if opts.init_guess_when_error:
+            fail = ~((sol.mu < opts.fail_mu_tol)
+                     & (sol.stat_res < opts.fail_stat_tol))
+            if opts.compat_brake_bug and opts.init_guess != "interpolate":
+                x0_eff = jnp.where(fail, st.x0.at[3:].set(0.0), st.x0)
+            reset = ctrl.initial_guess(x0_eff, goal)
+            rti_new = jax.tree.map(
+                lambda a, b: jnp.where(fail, a, b), reset, rti_new)
+            resets = st.resets + jnp.int32(fail)
 
         # 4. plant step (ocp_integrator, :207-212)
-        x_new = ctrl.integrate(st.x0, u0)
+        x_new = ctrl.integrate(x0_eff, u0)
 
         # 5. obstacle world advances with motion noise (:217-218)
         key, sub = jax.random.split(st.key)
@@ -159,7 +185,8 @@ def make_parametric_tick(ctrl: RtiController, random_move: bool = True):
         new = LoopState(
             x0=x_new, rti=rti_shifted, obst=obst_new, key=key,
             done=st.done | reached, reached=st.reached | reached,
-            oob=oob, min_margin=min_margin, dist=dist, steps=steps)
+            oob=oob, min_margin=min_margin, dist=dist, steps=steps,
+            resets=resets)
 
         # freeze finished rows (the reference's `break`, :249-250)
         return jax.tree.map(
@@ -254,8 +281,28 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
                            u_traj=st.rti.u_traj + sol.du)
         u0 = rti_new.u_traj[:, 0]
 
+        # status-4 analogue (robot_ocp_problem.py:203-205; module docstring):
+        # rows whose IP did not converge within qp_iter reset their warm
+        # start and (compat_brake_bug) brake the plant; failed u0 still
+        # applies this tick.
+        x0_eff = st.x0
+        resets = st.resets
+        if opts.init_guess_when_error:
+            fail = ~((sol.mu < opts.fail_mu_tol)
+                     & (sol.stat_res < opts.fail_stat_tol))
+            if opts.compat_brake_bug and opts.init_guess != "interpolate":
+                braked = st.x0.at[:, 3:].set(0.0)
+                x0_eff = jnp.where(fail[:, None], braked, st.x0)
+            reset = jax.vmap(lambda x: ctrl.initial_guess(x, goal))(x0_eff)
+            rti_new = jax.tree.map(
+                lambda a, b: jnp.where(
+                    jnp.reshape(fail, fail.shape + (1,) * (b.ndim - 1)),
+                    a, b),
+                reset, rti_new)
+            resets = st.resets + jnp.int32(fail)
+
         # 4. plant step
-        x_new = ctrl.integrate(st.x0, u0)
+        x_new = ctrl.integrate(x0_eff, u0)
 
         # 5. noisy obstacle world step (per-row keys)
         keys = jax.vmap(jax.random.split)(st.key)
@@ -282,7 +329,8 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
         new = LoopState(
             x0=x_new, rti=rti_shifted, obst=obst_new, key=key,
             done=st.done | reached, reached=st.reached | reached,
-            oob=oob, min_margin=min_margin, dist=dist, steps=steps)
+            oob=oob, min_margin=min_margin, dist=dist, steps=steps,
+            resets=resets)
 
         return jax.tree.map(
             lambda old, upd: jnp.where(

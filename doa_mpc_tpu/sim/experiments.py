@@ -46,7 +46,7 @@ def run_scenario_batch(spec: WorldSpec, opts: SolverOptions, scenario: str,
                        seed: int = 0, dtype=jnp.float32,
                        params: CostParams | None = None,
                        mesh=None, start_goal_margin: float = 1.0,
-                       backend: str = "xla"):
+                       backend: str = "xla", return_state: bool = False):
     """Run ``n_runs`` seeded scenarios in one batched rollout.
 
     Start/goal mirror experiments.py:20: start (X_MIN+1, Y_MIN+1, pi/4, 0, 0),
@@ -70,13 +70,30 @@ def run_scenario_batch(spec: WorldSpec, opts: SolverOptions, scenario: str,
         from doa_mpc_tpu.parallel.mesh import (
             make_sharded_rollout, shard_leading_axis,
         )
-        state = shard_leading_axis(state, mesh)
+        if jax.process_count() > 1:
+            # multi-host: every process deterministically builds the full
+            # batch init (cheap — obstacle placement only), keeps its own
+            # contiguous row block, and the blocks are assembled into
+            # globally-sharded arrays (parallel/distributed.py).
+            from doa_mpc_tpu.parallel.distributed import (
+                host_shard_bounds, make_global_batch,
+            )
+            lo, hi = host_shard_bounds(n_runs)
+            local = jax.tree.map(lambda a: np.asarray(a)[lo:hi], state)
+            state = make_global_batch(local, mesh)
+        else:
+            state = shard_leading_axis(state, mesh)
         fn = jax.jit(make_sharded_rollout(rollout, mesh))
         final, _stats = fn(state)
     else:
         final = jax.jit(rollout)(state)
 
     m = jax.vmap(metrics_of)(final)
+    if mesh is not None and jax.process_count() > 1:
+        # per-row metrics are sharded across processes; gather so the
+        # host-0 CSV writer sees every row
+        from doa_mpc_tpu.parallel.distributed import gather_rows
+        m = gather_rows(m)
     data = np.stack([
         np.asarray(m.hit, np.float64),
         np.asarray(m.reached, np.float64),
@@ -85,6 +102,8 @@ def run_scenario_batch(spec: WorldSpec, opts: SolverOptions, scenario: str,
         np.asarray(m.steps, np.float64),
         np.asarray(m.oob, np.float64),
     ], axis=1)
+    if return_state:
+        return data, final
     return data
 
 
@@ -99,10 +118,13 @@ def run_experiment(spec: WorldSpec | None = None,
     and persist CSV + spec JSON with the reference's naming convention."""
     spec = spec or WorldSpec()
     opts = opts or SolverOptions(qp_iter=spec.qp_iter)
-    os.makedirs(out_dir, exist_ok=True)
+    from doa_mpc_tpu.parallel.distributed import is_host0
+    write = is_host0()   # host-0-only artifact IO in multi-process runs
+    if write:
+        os.makedirs(out_dir, exist_ok=True)
     results = {}
     for s in scenarios:
-        if verbose:
+        if verbose and write:
             print(f"{s}: solving {n_runs} scenarios (N={spec.n_solv}, "
                   f"M={spec.n_obst}, qp_iter={opts.qp_iter})")
         data = run_scenario_batch(spec, opts, s, n_runs=n_runs,
@@ -110,21 +132,34 @@ def run_experiment(spec: WorldSpec | None = None,
                                   backend=backend)
         stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
         csv_path = os.path.join(out_dir, f"{stamp}_experiment_data.csv")
-        np.savetxt(csv_path, data, delimiter=";")
+        if write:
+            np.savetxt(csv_path, data, delimiter=";")
         exp = {
-            "slack": True, "random_move": True, "init_guess": True,
+            "slack": True, "random_move": True,
+            # the reference schema's "init_guess" records
+            # init_guess_when_error (experiments.py:16,31)
+            "init_guess": opts.init_guess_when_error,
             "scenario": s, "TF": spec.tf, "N_SOLV": spec.n_solv,
             "N_OBST": spec.n_obst, "QP_ITER": opts.qp_iter,
             # extra provenance (absent from the reference schema)
             "engine": "doa_mpc_tpu", "integrator": opts.integrator,
             "dtype": str(np.dtype(np.float32 if dtype == jnp.float32
                                   else np.float64)),
+            "compat_pred_bug": opts.compat_pred_bug,
+            "fail_mu_tol": opts.fail_mu_tol,
+            "fail_stat_tol": opts.fail_stat_tol,
+            "backend": backend,
         }
-        with open(os.path.join(out_dir, f"{stamp}_experiment_spec.json"),
-                  "w") as f:
-            json.dump(exp, f)
+        if opts.init_guess == "interpolate":
+            # the two bundled interpolate runs add this key
+            # (test_data/20221031_2251*/2254* spec JSONs)
+            exp["interpolate_init"] = True
+        if write:
+            with open(os.path.join(out_dir, f"{stamp}_experiment_spec.json"),
+                      "w") as f:
+                json.dump(exp, f)
         results[s] = data
-        if verbose:
+        if verbose and write:
             print(f"  collision={data[:, 0].mean():.2%} "
                   f"reached={data[:, 1].mean():.2%} "
                   f"oob={data[:, 5].mean():.2%} "

@@ -91,6 +91,32 @@ class RtiController:
             u_traj=jnp.zeros((n, self.spec.nu), x0.dtype),
         )
 
+    def initial_guess(self, x0: jnp.ndarray, goal: jnp.ndarray) -> RtiState:
+        """``set_initial_guess`` (robot_ocp_problem.py:286-306) with the
+        strategy chosen by ``options.init_guess``.
+
+        "current" is the reference's active code path (:301-306): every stage
+        at x0 with v, omega zeroed. "interpolate" is the commented
+        straight-line variant (:293-300) used by the two bundled
+        ``interpolate_init`` baseline runs, with its bugs reproduced
+        faithfully: x never interpolates (``x0[0] + i/N*(x0[0]-x0[0])``),
+        only y walks to the subgoal, and the heading guess is
+        ``atan2(goal_y - y0, goal_x - goal_x)`` = atan2(dy, 0) = +-pi/2.
+        """
+        if self.options.init_guess != "interpolate":
+            return self.cold_start(x0)
+        n = self.spec.n_solv
+        dtype = x0.dtype
+        frac = jnp.arange(n + 1, dtype=dtype) / n
+        y = x0[1] + frac * (goal[1] - x0[1])
+        psi = jnp.arctan2(goal[1] - x0[1], jnp.zeros((), dtype))
+        x_traj = jnp.stack([
+            jnp.full((n + 1,), x0[0], dtype), y,
+            jnp.full((n + 1,), psi, dtype),
+            jnp.zeros((n + 1,), dtype), jnp.zeros((n + 1,), dtype)], axis=-1)
+        return RtiState(x_traj=x_traj,
+                        u_traj=jnp.zeros((n, self.spec.nu), dtype))
+
     def shift(self, state: RtiState) -> RtiState:
         """Warm-start shift (robot_ocp_problem.py:253-258): move stages one
         left, duplicate terminal state, zero the last control. Batch-generic

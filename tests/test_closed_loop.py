@@ -165,3 +165,69 @@ def test_f32_loop_runs_and_reaches():
     m = metrics_of(rollout(st))
     assert bool(m.reached)
     assert not bool(m.hit)
+
+
+def test_status4_reset_fires_and_brakes():
+    """The acados status-4 analogue (robot_ocp_problem.py:203-205): with
+    impossible convergence tolerances every tick "fails", so the warm start
+    must reset to the stationary guess and (compat_brake_bug) the plant
+    velocity must be zeroed via the reference's x_guess aliasing bug
+    (:301-302) before integration."""
+    opts = SolverOptions(qp_iter=15, integrator="rk4",
+                         init_guess_when_error=True,
+                         fail_mu_tol=0.0, fail_stat_tol=0.0)  # always fail
+    ctrl = make_rti_controller(SPEC, opts, dtype=jnp.float64)
+    params = default_cost_params(SPEC, dtype=jnp.float64)
+    start, goal = robot_start_goal(SPEC)
+    st = init_loop_state(jax.random.PRNGKey(0), ctrl, start, goal)
+    st = st._replace(obst=_parked_obstacles(SPEC, jnp.float64))
+    tick = jax.jit(make_tick(ctrl, goal, params, random_move=False))
+    st2 = tick(st)
+    assert int(st2.resets) == 1
+    # warm start was reset to the stationary guess at the PRE-integration
+    # braked state (the reference resets before integrating, :203-207; the
+    # subsequent warm shift of a constant trajectory is itself)
+    np.testing.assert_allclose(np.asarray(st2.rti.x_traj),
+                               np.tile(np.asarray(st.x0.at[3:].set(0.0)),
+                                       (SPEC.n_solv + 1, 1)))
+    # the brake acted before integration: the position moved less than an
+    # unbraked start (v0=0 here so x0 change is second-order small)
+    assert float(jnp.linalg.norm(st2.x0[:2] - st.x0[:2])) < 0.1
+    st3 = tick(st2)
+    assert int(st3.resets) == 2
+
+
+def test_status4_disabled_by_default_and_never_fires_when_converged():
+    ctrl, params, start, goal = _setup()
+    # generous tolerances: the warm-started QP converges easily at iters=15
+    opts = SolverOptions(qp_iter=15, integrator="rk4",
+                         init_guess_when_error=True,
+                         fail_mu_tol=1e3, fail_stat_tol=1e3)
+    ctrl2 = make_rti_controller(SPEC, opts, dtype=jnp.float64)
+    st = init_loop_state(jax.random.PRNGKey(0), ctrl2, start, goal)
+    st = st._replace(obst=_parked_obstacles(SPEC, jnp.float64))
+    rollout = jax.jit(make_rollout(ctrl2, goal, params, max_iter=120,
+                                   random_move=False))
+    fin = rollout(st)
+    assert int(fin.resets) == 0
+    assert bool(metrics_of(fin).reached)
+
+
+def test_interpolate_init_guess_reproduces_reference_bugs():
+    """The interpolate_init variant (robot_ocp_problem.py:293-300, commented
+    code used by the two bundled interpolate baseline runs) has two bugs the
+    compat path must reproduce: x never interpolates (x0 + i/N*(x0-x0)) and
+    psi = atan2(dy, 0) = +-pi/2."""
+    opts = SolverOptions(qp_iter=15, integrator="rk4",
+                         init_guess="interpolate")
+    ctrl = make_rti_controller(SPEC, opts, dtype=jnp.float64)
+    x0 = jnp.array([-7.0, -7.0, 0.3, 1.0, 0.5], jnp.float64)
+    goal = jnp.array([7.0, 7.0], jnp.float64)
+    g = ctrl.initial_guess(x0, goal)
+    n = SPEC.n_solv
+    np.testing.assert_allclose(np.asarray(g.x_traj[:, 0]), -7.0)  # x frozen
+    np.testing.assert_allclose(np.asarray(g.x_traj[:, 1]),
+                               -7.0 + np.arange(n + 1) / n * 14.0)
+    np.testing.assert_allclose(np.asarray(g.x_traj[:, 2]), np.pi / 2)
+    np.testing.assert_allclose(np.asarray(g.x_traj[:, 3:]), 0.0)
+    np.testing.assert_allclose(np.asarray(g.u_traj), 0.0)
