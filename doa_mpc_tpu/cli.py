@@ -147,12 +147,14 @@ def _demo(args):
                          args.scenario)
     rollout = jax.jit(make_rollout(ctrl, goal, params,
                                    max_iter=args.max_iter, collect=True))
-    fin, (xs, obs) = rollout(st)
+    fin, (xs, obs, pred) = rollout(st)
     m = metrics_of(fin)
     print(f"reached={bool(m.reached)} hit={bool(m.hit)} "
           f"min_margin={float(m.min_margin):.3f} steps={int(m.steps)}")
     t = int(m.steps) + 1
-    vis = VisDynamicRobotEnv(spec, xs[:t], obs[:t], start=start, goal=goal)
+    vis = VisDynamicRobotEnv(spec, xs[:t], obs[:t],
+                             pred_traj=pred[:t, :, :2],
+                             start=start, goal=goal)
     vis.save_animation(args.gif, every=2)
     print(f"wrote {args.gif}")
 

@@ -127,18 +127,24 @@ def init_loop_state(key, ctrl: RtiController, x_init, goal,
     )
 
 
-def make_parametric_tick(ctrl: RtiController, random_move: bool = True):
+def make_parametric_tick(ctrl: RtiController, random_move: bool = True,
+                         return_pred: bool = False):
     """Single-scenario tick taking (state, goal, params) as traced inputs.
 
     ``goal`` being an argument (not a closure) is the ``set_subgoal``
     interface (robot_ocp_problem.py:279-284): the RL layer retargets the
     controller tick-by-tick. ``params`` as an argument enables batched
     cost-weight sweeps / RL-tuned weights.
+
+    With ``return_pred`` the tick also returns the solver's predicted state
+    horizon for this tick (pre-shift, stages 0..N) — what the reference
+    records for visualization via ``solver.get(i, 'x')`` right after the
+    solve (robot_ocp_problem.py:237-241, ``show_pred``).
     """
     spec, opts = ctrl.spec, ctrl.options
     n = spec.n_solv
 
-    def tick(st: LoopState, goal, params: CostParams) -> LoopState:
+    def tick(st: LoopState, goal, params: CostParams):
         # 1. obstacle forecast for the horizon (parameterize_model, :154-166)
         pred = predict_trajectory(
             st.obst, spec, n, compat_pred_bug=opts.compat_pred_bug)
@@ -189,19 +195,23 @@ def make_parametric_tick(ctrl: RtiController, random_move: bool = True):
             resets=resets)
 
         # freeze finished rows (the reference's `break`, :249-250)
-        return jax.tree.map(
+        frozen = jax.tree.map(
             lambda old, upd: jnp.where(_mask(st.done, upd.ndim), old, upd),
             st, new)
+        if return_pred:
+            return frozen, rti_new.x_traj
+        return frozen
 
     return tick
 
 
 def make_tick(ctrl: RtiController, goal, params: CostParams,
-              random_move: bool = True):
+              random_move: bool = True, return_pred: bool = False):
     """Fixed-goal tick (the plain closed loop; vmap for the batch)."""
-    ptick = make_parametric_tick(ctrl, random_move=random_move)
+    ptick = make_parametric_tick(ctrl, random_move=random_move,
+                                 return_pred=return_pred)
 
-    def tick(st: LoopState) -> LoopState:
+    def tick(st: LoopState):
         return ptick(st, goal, params)
 
     return tick
@@ -371,15 +381,20 @@ def make_rollout(ctrl: RtiController, goal, params: CostParams,
                  max_iter: int = 400, random_move: bool = True,
                  collect: bool = False):
     """Scan ``max_iter`` ticks (the reference's step(400),
-    experiments.py:36). With ``collect`` the robot/obstacle trajectory is
-    stacked (for golden tests and visualization)."""
-    tick = make_tick(ctrl, goal, params, random_move=random_move)
+    experiments.py:36). With ``collect`` the per-tick robot position,
+    obstacle positions, AND the solver's predicted state horizon are stacked
+    — the reference's ``show_pred`` capture (robot_ocp_problem.py:237-241)
+    — as a (x0, obst_pos, pred_x) tuple for golden tests and
+    visualization (``utils/viz.py`` ``pred_traj``)."""
+    tick = make_tick(ctrl, goal, params, random_move=random_move,
+                     return_pred=collect)
 
     def rollout(st: LoopState):
         def body(s, _):
-            s2 = tick(s)
-            out = (s2.x0, s2.obst.pos) if collect else None
-            return s2, out
+            if collect:
+                s2, pred_x = tick(s)
+                return s2, (s2.x0, s2.obst.pos, pred_x)
+            return tick(s), None
 
         final, traj = jax.lax.scan(body, st, None, length=max_iter)
         if collect:

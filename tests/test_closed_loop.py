@@ -57,7 +57,7 @@ def test_respects_control_and_state_bounds():
     st = st._replace(obst=_parked_obstacles(SPEC, jnp.float64))
     rollout = jax.jit(make_rollout(ctrl, goal, params, max_iter=120,
                                    random_move=False, collect=True))
-    fin, (xs, _) = rollout(st)
+    fin, (xs, _, _) = rollout(st)
     xs = np.asarray(xs)
     steps = int(metrics_of(fin).steps)
     dt = SPEC.dt

@@ -35,8 +35,10 @@ def test_closed_loop_matches_golden():
     st = init_loop_state(jax.random.PRNGKey(42), ctrl, start, goal, "RANDOM")
     rollout = jax.jit(make_rollout(ctrl, goal, params, max_iter=40,
                                    collect=True))
-    fin, (xs, obs) = rollout(st)
+    fin, (xs, obs, pred) = rollout(st)
     m = metrics_of(fin)
+    # the collected prediction horizon has the show_pred shape (:237-241)
+    assert pred.shape == (40, spec.n_solv + 1, 5)
     # trajectory within the north-star control-trace tolerance (1e-3),
     # checked much tighter here since it is the same engine
     np.testing.assert_allclose(np.asarray(xs), data["xs"], atol=1e-9)
