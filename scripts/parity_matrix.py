@@ -134,12 +134,23 @@ def main():
             args.out, f"{c['stamp']}_{c['scenario']}_ours.csv"),
             data, delimiter=";")
 
+    # merge with any prior per-cell invocations (the TPU tunnel kills long
+    # processes, so the matrix is driven one --only cell at a time)
+    spath = os.path.join(args.out, "summary.json")
+    merged = {}
+    if os.path.exists(spath):
+        with open(spath) as f:
+            for r in json.load(f).get("cells", []):
+                merged[(r["stamp"], r["scenario"])] = r
+    for r in rows:
+        merged[(r["stamp"], r["scenario"])] = r
+    rows = sorted(merged.values(), key=lambda r: (r["stamp"], r["scenario"]))
     meta = {"runs": args.runs, "backend": args.backend,
             "integrator": args.integrator,
             "status4": not args.no_status4, "brake": not args.no_brake,
             "fail_mu_tol": args.fail_mu, "fail_stat_tol": args.fail_stat,
             "compat_pred_bug": True, "cells": rows}
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
+    with open(spath, "w") as f:
         json.dump(meta, f, indent=1)
 
     with open(os.path.join(args.out, "summary.md"), "w") as f:

@@ -36,6 +36,8 @@ def main():
     p.add_argument("--ticks", type=int, default=5)
     p.add_argument("--qp-iter", type=int, default=10)
     p.add_argument("--n-solv", type=int, default=10)
+    p.add_argument("--out", default=None,
+                   help="write the report rows as a JSON artifact")
     args = p.parse_args()
 
     from doa_mpc_tpu.config import SolverOptions, WorldSpec, default_cost_params
@@ -54,6 +56,7 @@ def main():
     start, goal = start.astype(dtype), goal.astype(dtype)
 
     results = {}
+    rows = []
     for n_dev in args.devices:
         if n_dev > len(jax.devices()):
             continue
@@ -76,14 +79,34 @@ def main():
         d0 = min(results)
         per_dev0 = results[d0] / d0
         eff = (results[n_dev] / n_dev) / per_dev0
-        print(json.dumps({
+        row = {
             "devices": n_dev, "batch": B,
             "solves_per_s": round(results[n_dev], 1),
             "weak_scaling_efficiency": round(eff, 3),
-        }))
+        }
+        rows.append(row)
+        print(json.dumps(row))
     if jax.devices()[0].platform == "cpu":
         print("# note: virtual CPU devices share one host's cores - weak "
               "scaling here validates the SPMD program, not ICI bandwidth")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "platform": jax.devices()[0].platform,
+                "n_devices_avail": len(jax.devices()),
+                "host_cores": os.cpu_count(),
+                "ticks": args.ticks, "qp_iter": args.qp_iter,
+                "n_solv": args.n_solv, "mode": "weak-scaling",
+                "note": (f"virtual CPU devices share {os.cpu_count()} "
+                         "physical host cores, which caps aggregate "
+                         "throughput; efficiency beyond that core count "
+                         "measures host contention, not the SPMD program. "
+                         "This artifact validates that the sharded program "
+                         "runs and scales to the host's core limit; ICI "
+                         "scaling needs a real multi-chip slice.")
+                if jax.devices()[0].platform == "cpu" else "real devices",
+                "rows": rows,
+            }, f, indent=1)
 
 
 if __name__ == "__main__":
