@@ -173,6 +173,12 @@ class SolverOptions:
     irk_tableau: str = "gauss_legendre"
     qp_iter: int = 50
     cost_scale_dt: bool = True
+    # Levenberg-Marquardt placement: True (default, acados semantics) adds
+    # lm INSIDE the dt-scaled stage cost (path stages lm*dt, terminal lm);
+    # False adds raw lm on top of the scaled Hessian — ~10x over-damped
+    # controls, closed-loop trips ~40% slower than the reference baselines
+    # (the round-1/2 behavior, kept for ablation).
+    lm_scale_dt: bool = True
     compat_pred_bug: bool = False
     # IP solver knobs
     ip_tau: float = 0.99         # fraction-to-boundary factor

@@ -154,9 +154,20 @@ class RtiController:
         w_qe = jnp.zeros((nx,), dtype).at[qsel].set(params.qe_diag)
         yref = jnp.zeros((nx,), dtype).at[0].set(goal[0]).at[1].set(goal[1])
 
+        # Levenberg-Marquardt enters INSIDE the dt-scaled stage cost, the
+        # way acados applies it (the LM term is part of the cost-module
+        # Hessian, which cost_scaling multiplies wholesale): path stages get
+        # lm*dt, the terminal stage lm*1. Adding raw lm=2.0 on top of the
+        # dt-scaled Hessian (the round-1/2 behavior, kept under
+        # lm_scale_dt=False) over-damps du by ~10x and makes closed-loop
+        # trips ~40% slower than the reference's bundled runs (measured:
+        # open-road trip 59 ticks raw vs 49 scaled == converged-SQP pace ==
+        # the reference CSVs' fastest runs).
         lm = params.lm_reg
+        lm_sc = sc if opts.lm_scale_dt else jnp.ones_like(sc)
         Q = (sc[:-1, None, None] * jnp.diag(w_q)[None]
-             + lm * jnp.eye(nx, dtype=dtype)[None]) * jnp.ones((n, 1, 1), dtype)
+             + (lm_sc[:-1, None, None] * lm)
+             * jnp.eye(nx, dtype=dtype)[None]) * jnp.ones((n, 1, 1), dtype)
         Q_N = jnp.diag(w_qe) + lm * jnp.eye(nx, dtype=dtype)
         Q = jnp.concatenate([Q, Q_N[None]], axis=0)
         q = sc[:, None] * (jnp.concatenate([w_q[None] * jnp.ones((n, 1), dtype),
@@ -164,7 +175,8 @@ class RtiController:
                            * (xg - yref[None]))
 
         R = (sc[:-1, None, None] * jnp.diag(params.r_diag)[None]
-             + lm * jnp.eye(nu, dtype=dtype)[None]) * jnp.ones((n, 1, 1), dtype)
+             + (lm_sc[:-1, None, None] * lm)
+             * jnp.eye(nu, dtype=dtype)[None]) * jnp.ones((n, 1, 1), dtype)
         r = sc[:-1, None] * params.r_diag[None] * ug
         S = jnp.zeros((n, nu, nx), dtype)
 
