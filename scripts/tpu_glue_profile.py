@@ -61,26 +61,33 @@ def chain(step):
     return run
 
 
-# forecast: obstacles -> predicted trajectories, fed back via a cheap dep
+# forecast: obstacles -> predicted trajectories, fed back via a dep that
+# covers the WHOLE forecast (pred[0] alone is the identity fold at t=0 and
+# lets XLA dead-code-eliminate the remaining N steps)
 def f_forecast(carry):
     pos, vel = carry
     pred = predict_trajectory(ObstacleState(pos, vel), spec, spec.n_solv)
-    return pos + 1e-6 * pred[0], vel
+    return pos + 1e-6 * jnp.mean(pred, axis=0), vel
 
 timeit("forecast", chain(f_forecast), (st0.obst.pos, st0.obst.vel))
 
 
-# buildqp: forecast + GN linearize + assemble (dep through x0)
+# buildqp: forecast + GN linearize + assemble. The obstacle state is part of
+# the carry (a closure over st0.obst is loop-invariant and hoists out of the
+# scan) and the dependency sums EVERY QP leaf so nothing is DCE-able.
 def f_buildqp(carry):
-    x0, rti = carry
-    pred = predict_trajectory(st0.obst, spec, spec.n_solv)
+    x0, rti, pos, vel = carry
+    pred = predict_trajectory(ObstacleState(pos, vel), spec, spec.n_solv)
     pred = jnp.moveaxis(pred, 0, 1)
     qp = jax.vmap(
         lambda r, x, p: ctrl.build_qp(r, x, goal, p, params)
     )(rti, x0, pred)
-    return x0 + 1e-6 * qp.qvec[:, 0, :5], rti
+    dep = sum(jnp.sum(leaf, axis=tuple(range(1, leaf.ndim)))
+              for leaf in jax.tree.leaves(qp))
+    return x0 + 1e-6 * dep[:, None], rti, pos + 1e-9 * dep[:, None, None], vel
 
-timeit("buildqp", chain(f_buildqp), (st0.x0, st0.rti))
+timeit("buildqp", chain(f_buildqp),
+       (st0.x0, st0.rti, st0.obst.pos, st0.obst.vel))
 
 
 # world: per-row key split + noisy obstacle bounce step
