@@ -24,11 +24,15 @@ def test_batched_weights_match_singles():
     ctrl = make_rti_controller(SPEC, OPTS, dtype=jnp.float64)
     start, goal = robot_start_goal(SPEC)
     base = default_cost_params(SPEC, dtype=jnp.float64)
-    # three weight settings: default, heavy control penalty, fast goal pull
+    # three weight settings: default, heavy control penalty, heavy LM
+    # damping. (Scaling q up/down does not discriminate here: with the
+    # acados-placement LM the default controller saturates the control
+    # bounds for the whole 5-tick window this test runs, and any nonzero
+    # goal pull from 19.8 m away saturates them identically.)
     variants = [
         base,
-        base.__class__(**{**base.__dict__, "r_diag": base.r_diag * 20.0}),
-        base.__class__(**{**base.__dict__, "q_diag": base.q_diag * 5.0}),
+        base.__class__(**{**base.__dict__, "r_diag": base.r_diag * 2000.0}),
+        base.__class__(**{**base.__dict__, "lm_reg": base.lm_reg * 10.0}),
     ]
     params_b = jax.tree.map(lambda *xs: jnp.stack(xs), *variants)
 
