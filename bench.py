@@ -35,10 +35,13 @@ BATCH = 4096
 TICKS = 20
 # Per-tick latency distribution (BASELINE.md's p99 north star): chained
 # chunks of PCT_CHUNK ticks, host-timed, PCT_REPS repeats -> >=200 ticks.
-PCT_CHUNK = 5
-PCT_REPS = 48
-B1_CHUNK = 10
-B1_REPS = 30
+# Chunks match the headline's 20-tick scan so the tunnel's ~20 ms host
+# round-trip amortizes identically (a 5-tick chunk inflates per-tick time
+# by RTT/5 ~ 4 ms; measured p50 was 2x the steady-state tick).
+PCT_CHUNK = 20
+PCT_REPS = 12
+B1_CHUNK = 20
+B1_REPS = 12
 # 10 interior-point iterations per RTI tick: the controller warm-starts the
 # QP primal by shifting the previous solution, so closed-loop quality was
 # statistically indistinguishable across every tested count 6..20
