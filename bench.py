@@ -42,13 +42,14 @@ PCT_CHUNK = 20
 PCT_REPS = 12
 B1_CHUNK = 20
 B1_REPS = 12
-# 10 interior-point iterations per RTI tick: the controller warm-starts the
-# QP primal by shifting the previous solution, so closed-loop quality was
-# statistically indistinguishable across every tested count 6..20
-# (scripts/tpu_iter_sweep.py; persisted sweep in results/iter_sweep_r3/).
-# The sweep's low end locates the actual quality cliff; see the artifact
-# for the measured rates per iteration count.
-QP_ITER = 10
+# 6 interior-point iterations per RTI tick: the controller warm-starts the
+# QP primal by shifting the previous solution, so few IP iterations suffice.
+# The persisted sweep (results/iter_sweep_r3/, 256 seeds x 2 scenarios per
+# count, CSVs in the reference schema) locates the quality cliff at 2
+# iterations (reached collapses 96% -> 7%); 4 and up are statistically
+# indistinguishable from 20 (RANDOM 95.7-96.5%, EDGE 87.5-89.8%). 6 keeps a
+# 3x margin over the cliff at 1.32M solves/s (vs 1.05M at 10, 0.67M at 20).
+QP_ITER = 6
 BACKENDS = ("fused", "pallas", "xla")
 ATTEMPT_TIMEOUT_S = 560  # 3 compiles (B=4096 scan, pct chunk, B=1 chunk) + timing
 PROBE_TIMEOUT_S = 90
