@@ -151,6 +151,22 @@ def measure(backend):
 
     p50, p99 = tick_percentiles(state, PCT_CHUNK, PCT_REPS)
 
+    # Host<->device round-trip through the tunnel: median time to fetch a
+    # dependent scalar from a trivial jitted op. Every chunked measurement
+    # above carries one RTT per chunk; report it so per-tick numbers can be
+    # read as device time + RTT/chunk.
+    @jax.jit
+    def tiny(x):
+        return jnp.sum(x) * 1.0000001
+    v = jnp.ones((8,), dtype)
+    float(tiny(v))
+    rtts = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        float(tiny(v))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+
     # B=1 deployment latency: the reference's actual use case is ONE robot
     # per control tick. Same controller, batch_shape=(1,).
     st1 = init_loop_state(jax.random.PRNGKey(1), ctrl, start, goal,
@@ -170,6 +186,8 @@ def measure(backend):
         "p99_tick_s": round(p99, 5),
         "b1_p50_tick_s": round(b1_p50, 6),
         "b1_p99_tick_s": round(b1_p99, 6),
+        "tunnel_rtt_s": round(rtt, 6),
+        "b1_p50_device_s": round(max(b1_p50 - rtt / B1_CHUNK, 0.0), 6),
         "realtime_ok": bool(tick_s < 0.1),
     }), flush=True)
 
