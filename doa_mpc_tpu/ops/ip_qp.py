@@ -83,6 +83,7 @@ def _sel_t(v, nx):
 def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
                  reg: float | None = None, tol: float | None = None,
                  normalize: bool = True, backend: str = "xla",
+                 sigma_max: float | None = None,
                  debug: bool = False) -> IpSolution:
     """Solve OCP QPs; ``qp`` leaves may carry one leading batch axis.
 
@@ -100,7 +101,14 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
     is32 = dtype == jnp.float32
     tol = (1e-7 if is32 else 1e-10) if tol is None else tol
     reg = (1e-6 if is32 else 1e-9) if reg is None else reg
-    sigma_max = 1e7 if is32 else 1e12
+    if sigma_max is None:
+        # On rare ill-conditioned f32 rows the TPU's reduction order can
+        # overflow the condensed Riccati at this clamp where CPU f32
+        # survives; such rows freeze (masked) and keep their warm-start
+        # iterate. Callers hitting this can pass a lower clamp (1e5
+        # resumes the observed hard rows) at some accuracy cost on active
+        # constraints. The fused Pallas backend solves the same rows fine.
+        sigma_max = 1e7 if is32 else 1e12
     stat_tol = 1e-4 if is32 else 1e-8
     nx, nu = qp.A.shape[-1], qp.B.shape[-1]
     N = qp.A.shape[-3]
@@ -364,9 +372,14 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         # safeguard: a non-finite direction freezes the iterate (masked
         # divergence control; the batch keeps marching). The freeze is a
         # select, not a zero step length — 0 * inf would manufacture NaNs.
-        finite = (jnp.isfinite(rsum(Ddx)) & jnp.isfinite(rsum(Ddu))
-                  & jnp.isfinite(rsum(Ds)) & jnp.isfinite(a_p)
-                  & jnp.isfinite(a_d))
+        # EVERY direction component must be checked: an inf dual step
+        # (Dl_*) with finite primal directions would pass a primal-only
+        # guard, poison the carried multipliers, and wedge the row for all
+        # remaining iterations.
+        finite = jnp.isfinite(a_p) & jnp.isfinite(a_d)
+        for comp in (Ddx, Ddu, Dnu, Ds, Dt_ul, Dl_ul, Dt_uu, Dl_uu,
+                     Dt_xl, Dl_xl, Dt_xu, Dl_xu, Dt_h, Dl_h, Dl_s):
+            finite = finite & jnp.isfinite(rsum(comp))
         frozen = converged | ~finite
 
         tiny = jnp.asarray(1e-30, dtype)
