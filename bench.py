@@ -11,10 +11,18 @@ solves per second.
 ``vs_baseline`` = solves/s/chip divided by the reference's 10 solves/s
 real-time budget.
 
-Timing note: the device stream is asynchronous (and ``block_until_ready``
-is unreliable through remote-tunnel platforms), so ticks are chained inside
-one jitted scan and a dependent scalar is fetched to the host — wall time /
-TICKS is the true steady-state per-tick latency.
+Timing note (round-4 correction): the axon tunnel runs launches in a
+streamed mode where ``block_until_ready`` returns WITHOUT waiting, and
+after the first device->host value fetch every call completes
+synchronously at wall = tunnel RTT (~25 ms) + device time. Fetching a
+dependent scalar per chunk is therefore correct but adds one RTT per
+chunk — the round-1..3 headline (20-tick chunks) overstated the tick by
+RTT/20 ~ 1.3 ms. The headline now cancels the RTT exactly by differencing
+two chain lengths: tick = (T(long) - T(short)) / (long - short), each T
+measured with a dependent-scalar fetch. ``wall_tick_s`` (T(long)/long,
+RTT included) is also reported as the conservative per-launch bound; real
+experiment rollouts scan 400 ticks per launch, so their RTT share is
+smaller than even that.
 
 Resilience: a Pallas kernel fault kills the whole TPU worker process, which
 a single-process benchmark cannot recover from (this lost the round-1
@@ -32,16 +40,17 @@ import sys
 import time
 
 BATCH = 4096
-TICKS = 20
+CHAIN_SHORT = 20
+CHAIN_LONG = 200
 # Per-tick latency distribution (BASELINE.md's p99 north star): chained
-# chunks of PCT_CHUNK ticks, host-timed, PCT_REPS repeats -> >=200 ticks.
-# Chunks match the headline's 20-tick scan so the tunnel's ~20 ms host
-# round-trip amortizes identically (a 5-tick chunk inflates per-tick time
-# by RTT/5 ~ 4 ms; measured p50 was 2x the steady-state tick).
-PCT_CHUNK = 20
-PCT_REPS = 12
+# chunks of PCT_CHUNK ticks, host-timed, PCT_REPS repeats. Each sample is a
+# CHUNK-MEAN (per-tick variation inside a scan is not host-observable), so
+# the fields are named *_chunkmean_*; the per-sample tunnel-RTT share
+# (rtt/PCT_CHUNK) is subtracted using the separately measured RTT.
+PCT_CHUNK = 100
+PCT_REPS = 30
 B1_CHUNK = 20
-B1_REPS = 12
+B1_REPS = 24
 # 6 interior-point iterations per RTI tick: the controller warm-starts the
 # QP primal by shifting the previous solution, so few IP iterations suffice.
 # The persisted sweep (results/iter_sweep_r3/, 256 seeds x 2 scenarios per
@@ -107,54 +116,37 @@ def measure(backend):
                             "RANDOM", batch_shape=(BATCH,))
     tick = make_batched_tick(ctrl, goal, params, backend=backend)
 
-    @jax.jit
-    def run(st):
-        def body(s, _):
-            return tick(s), None
-        final, _ = jax.lax.scan(body, st, None, length=TICKS)
-        return final, jnp.sum(final.x0)
-
-    # single compile: first call compiles + warms; then best-of-3 timed
-    # repeats (the remote tunnel adds run-to-run jitter on the ms scale)
-    final, chk = run(state)
-    float(chk)
-    elapsed = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        final, chk = run(state)
-        float(chk)
-        elapsed = min(elapsed, time.perf_counter() - t0)
-    tick_s = elapsed / TICKS
-    solves_per_s = BATCH / tick_s
-
-    def tick_percentiles(st, chunk, reps):
-        """p50/p99 per-tick latency: host-timed chunked scans (one device
-        round-trip per `chunk` ticks gives ms-scale resolution without the
-        tunnel's per-call sync noise dominating)."""
+    def chain(st0, ticks):
         @jax.jit
-        def run_chunk(s):
+        def run(st):
             def body(s, _):
                 return tick(s), None
-            final, _ = jax.lax.scan(body, s, None, length=chunk)
+            final, _ = jax.lax.scan(body, st, None, length=ticks)
             return final, jnp.sum(final.x0)
-        st, chk = run_chunk(st)
-        float(chk)  # compile + warm
-        samples = []
+        return run
+
+    def timed_best(run, st, reps=5):
+        """Best-of-reps wall time of run(st) incl. the dependent-scalar
+        fetch (the fetch is what forces true completion on the tunnel)."""
+        _, chk = run(st)
+        float(chk)                       # compile + warm + force sync mode
+        best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            st, chk = run_chunk(st)
+            _, chk = run(st)
             float(chk)
-            samples.append((time.perf_counter() - t0) / chunk)
-        samples.sort()
-        p = lambda q: samples[min(len(samples) - 1, int(q * len(samples)))]
-        return p(0.50), p(0.99)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    p50, p99 = tick_percentiles(state, PCT_CHUNK, PCT_REPS)
+    # ---- headline: RTT-cancelled device tick ---------------------------
+    t_short = timed_best(chain(state, CHAIN_SHORT), state)
+    t_long = timed_best(chain(state, CHAIN_LONG), state)
+    tick_s = max(t_long - t_short, 1e-9) / (CHAIN_LONG - CHAIN_SHORT)
+    wall_tick_s = t_long / CHAIN_LONG
+    solves_per_s = BATCH / tick_s
 
-    # Host<->device round-trip through the tunnel: median time to fetch a
-    # dependent scalar from a trivial jitted op. Every chunked measurement
-    # above carries one RTT per chunk; report it so per-tick numbers can be
-    # read as device time + RTT/chunk.
+    # Host<->device round-trip through the tunnel (sync mode): median time
+    # to fetch a dependent scalar from a trivial jitted op.
     @jax.jit
     def tiny(x):
         return jnp.sum(x) * 1.0000001
@@ -167,11 +159,34 @@ def measure(backend):
         rtts.append(time.perf_counter() - t0)
     rtt = sorted(rtts)[len(rtts) // 2]
 
+    def chunkmean_percentiles(st, chunk, reps):
+        """p50/p99 of chunk-mean per-tick latency, RTT share subtracted.
+        Per-tick variation inside a scan is not host-observable, so these
+        are distributions over chunk MEANS (labeled accordingly)."""
+        run = chain(st, chunk)
+        st2, chk = run(st)
+        float(chk)  # compile + warm
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            st2, chk = run(st2)
+            float(chk)
+            samples.append(max(time.perf_counter() - t0 - rtt, 0.0) / chunk)
+        samples.sort()
+        p = lambda q: samples[min(len(samples) - 1, int(q * len(samples)))]
+        return p(0.50), p(0.99)
+
+    p50, p99 = chunkmean_percentiles(state, PCT_CHUNK, PCT_REPS)
+
     # B=1 deployment latency: the reference's actual use case is ONE robot
-    # per control tick. Same controller, batch_shape=(1,).
+    # per control tick. Same controller, batch_shape=(1,); device tick via
+    # the same two-length cancellation, plus raw chunk-mean percentiles.
     st1 = init_loop_state(jax.random.PRNGKey(1), ctrl, start, goal,
                           "RANDOM", batch_shape=(1,))
-    b1_p50, b1_p99 = tick_percentiles(st1, B1_CHUNK, B1_REPS)
+    b1_short = timed_best(chain(st1, CHAIN_SHORT), st1, reps=3)
+    b1_long = timed_best(chain(st1, CHAIN_LONG), st1, reps=3)
+    b1_device = max(b1_long - b1_short, 1e-9) / (CHAIN_LONG - CHAIN_SHORT)
+    b1_p50, b1_p99 = chunkmean_percentiles(st1, B1_CHUNK, B1_REPS)
 
     print(json.dumps({
         "metric": "mpc_solves_per_s_per_chip_N20",
@@ -181,14 +196,15 @@ def measure(backend):
         "batch": BATCH,
         "qp_iter": QP_ITER,
         "backend": backend,
-        "mean_tick_s": round(tick_s, 5),
-        "p50_tick_s": round(p50, 5),
-        "p99_tick_s": round(p99, 5),
-        "b1_p50_tick_s": round(b1_p50, 6),
-        "b1_p99_tick_s": round(b1_p99, 6),
+        "mean_tick_s": round(tick_s, 6),
+        "wall_tick_s": round(wall_tick_s, 6),
+        "p50_chunkmean_tick_s": round(p50, 6),
+        "p99_chunkmean_tick_s": round(p99, 6),
+        "b1_device_tick_s": round(b1_device, 6),
+        "b1_p50_chunkmean_tick_s": round(b1_p50, 6),
+        "b1_p99_chunkmean_tick_s": round(b1_p99, 6),
         "tunnel_rtt_s": round(rtt, 6),
-        "b1_p50_device_s": round(max(b1_p50 - rtt / B1_CHUNK, 0.0), 6),
-        "realtime_ok": bool(tick_s < 0.1),
+        "realtime_ok": bool(wall_tick_s < 0.1),
     }), flush=True)
 
 

@@ -99,16 +99,22 @@ def default_cost_params(spec: WorldSpec, dtype=jnp.float32) -> "CostParams":
     W = blkdiag(2*I4, 0.15*I2) (:78-81), terminal W_e = 5*I4 over the same
     state selection (:70-73, 83).
     """
+    # HOST (numpy) arrays on purpose: tick factories close over these, and a
+    # jitted function that captures an eager jax DEVICE array as a closure
+    # constant permanently disables the axon TPU tunnel's async dispatch
+    # (~27 ms sync per launch afterwards — measured; see docs/DESIGN.md
+    # "dispatch poison"). numpy closures inline as HLO literals and are safe.
+    import numpy as np
     return CostParams(
-        q_diag=jnp.asarray([2.0, 2.0, 2.0, 2.0], dtype=dtype),
-        r_diag=jnp.asarray([0.15, 0.15], dtype=dtype),
-        qe_diag=jnp.asarray([5.0, 5.0, 5.0, 5.0], dtype=dtype),
-        lm_reg=jnp.asarray(2.0, dtype=dtype),
-        slack_scale=jnp.asarray(1e4, dtype=dtype),
-        slack_offset=jnp.asarray(50.0, dtype=dtype),
-        x_bound=jnp.asarray(7.0, dtype=dtype),
-        v_bound=jnp.asarray(spec.v_max_robot, dtype=dtype),
-        u_bound=jnp.asarray(spec.c_max, dtype=dtype),
+        q_diag=np.asarray([2.0, 2.0, 2.0, 2.0], dtype=dtype),
+        r_diag=np.asarray([0.15, 0.15], dtype=dtype),
+        qe_diag=np.asarray([5.0, 5.0, 5.0, 5.0], dtype=dtype),
+        lm_reg=np.asarray(2.0, dtype=dtype),
+        slack_scale=np.asarray(1e4, dtype=dtype),
+        slack_offset=np.asarray(50.0, dtype=dtype),
+        x_bound=np.asarray(7.0, dtype=dtype),
+        v_bound=np.asarray(spec.v_max_robot, dtype=dtype),
+        u_bound=np.asarray(spec.c_max, dtype=dtype),
     )
 
 

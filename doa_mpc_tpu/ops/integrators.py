@@ -207,8 +207,12 @@ def _newton_blocks(A: jnp.ndarray, Jf: jnp.ndarray, h) -> jnp.ndarray:
     M[i, j] = delta_ij I - h A_ij Jf_i (Jacobian of R_i = K_i - f(Z_i))."""
     s, nx = Jf.shape[-3], Jf.shape[-1]
     M = -h * A[:, :, None, None] * Jf[..., :, None, :, :]
-    idx = np.arange(s)
-    return M.at[..., idx, idx, :, :].add(jnp.eye(nx, dtype=Jf.dtype))
+    # static per-block diagonal add: an index-ARRAY scatter here poisons
+    # the axon TPU tunnel's async dispatch (see sqp_rti.build_qp)
+    eye = jnp.eye(nx, dtype=Jf.dtype)
+    for k in range(s):
+        M = M.at[..., k, k, :, :].add(eye)
+    return M
 
 
 def _block_lu(M: jnp.ndarray):

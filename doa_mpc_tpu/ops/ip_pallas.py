@@ -855,13 +855,22 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
             the apply pass recomputes the identical deltas once a_p/a_d are
             known, which removes the whole corrector-delta scratch array
             (the state is only mutated in the apply pass, so both passes
-            see the same inputs)."""
+            see the same inputs).
+
+            The probe ``chk`` accumulates EVERY component the apply pass
+            will add to the state — primal deltas, dual deltas (an inf dual
+            with finite primals would otherwise poison the carried
+            multipliers) and the costate update — mirroring the
+            all-component guard in ``ip_qp.py``. inf - inf inside the sum
+            yields NaN, which the ``chk == chk`` test catches."""
             def x_part(k, xk, acc):
                 a_pr, a_du, chk = acc
                 soft, box = x_deltas(k, xk, True, mu_t)
                 a_pr, a_du = x_bounds(k, xk, soft, box, a_pr, a_du)
-                for ds, _, _, _ in soft:
-                    chk = chk + ds
+                for ds, dth, dlh, dls in soft:
+                    chk = chk + ds + dth + dlh + dls
+                for dtxl, dtxu, dlxl, dlxu in box:
+                    chk = chk + dtxl + dtxu + dlxl + dlxu
                 for i in range(nx):
                     chk = chk + xk[i]
                 return (a_pr, a_du, chk)
@@ -874,9 +883,16 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
                 for i, (dtul, dtuu, dlul, dluu) in enumerate(ud):
                     a_pr = ftb(ftb(a_pr, STUL[k, i], dtul), STUU[k, i], dtuu)
                     a_du = ftb(ftb(a_du, SLUL[k, i], dlul), SLUU[k, i], dluu)
+                    chk = chk + dtul + dtuu + dlul + dluu
                 for i in range(nu):
                     chk = chk + uk[i]
-                return roll(k, xk, uk), (a_pr, a_du, chk)
+                xn = roll(k, xk, uk)
+                # costate delta -(P x_{k+1} + p) — probed too
+                Px = _mv(_lm(RIC, k, LR.o["P"], nx, nx), xn)
+                pn = _lv(RIC, k, LR.o["pn"], nx)
+                for i in range(nx):
+                    chk = chk + Px[i] + pn[i]
+                return xn, (a_pr, a_du, chk)
 
             xk0 = [zero for _ in range(nx)]
             acc0 = (jnp.full_like(mu, 2.0), jnp.full_like(mu, 2.0), zero)

@@ -70,20 +70,27 @@ class _IpState(NamedTuple):
 
 
 def _sel(dx_stage):
-    """E @ dx for the static box selection IDXBX (robot_ocp_problem.py:94)."""
-    return dx_stage[..., jnp.asarray(IDXBX)]
+    """E @ dx for the static box selection IDXBX (robot_ocp_problem.py:94).
+
+    Statically unrolled: an index-array gather here poisons the axon TPU
+    tunnel's async dispatch for the whole process (see sqp_rti.build_qp)."""
+    return jnp.stack([dx_stage[..., i] for i in IDXBX], axis=-1)
 
 
 def _sel_t(v, nx):
-    """E' @ v: scatter (..., nbx) back into (..., nx)."""
-    out = jnp.zeros(v.shape[:-1] + (nx,), v.dtype)
-    return out.at[..., jnp.asarray(IDXBX)].set(v)
+    """E' @ v: scatter (..., nbx) back into (..., nx) — statically unrolled
+    (same dispatch-poison avoidance as ``_sel``)."""
+    pos = {s: j for j, s in enumerate(IDXBX)}
+    zero = jnp.zeros(v.shape[:-1], v.dtype)
+    return jnp.stack([v[..., pos[i]] if i in pos else zero
+                      for i in range(nx)], axis=-1)
 
 
 def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
                  reg: float | None = None, tol: float | None = None,
                  normalize: bool = True, backend: str = "xla",
                  sigma_max: float | None = None,
+                 sigma_retry: float | None = None,
                  debug: bool = False) -> IpSolution:
     """Solve OCP QPs; ``qp`` leaves may carry one leading batch axis.
 
@@ -104,11 +111,20 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
     if sigma_max is None:
         # On rare ill-conditioned f32 rows the TPU's reduction order can
         # overflow the condensed Riccati at this clamp where CPU f32
-        # survives; such rows freeze (masked) and keep their warm-start
-        # iterate. Callers hitting this can pass a lower clamp (1e5
-        # resumes the observed hard rows) at some accuracy cost on active
-        # constraints. The fused Pallas backend solves the same rows fine.
+        # survives. The fused Pallas backend solves the same rows fine.
         sigma_max = 1e7 if is32 else 1e12
+    if sigma_retry is None:
+        # Self-recovery for rows wedged by the non-finite guard: the frozen
+        # state reproduces the same overflow every iteration, so the row
+        # would stay wedged for the rest of the solve. Instead, a row that
+        # trips the guard permanently lowers ITS OWN barrier-curvature
+        # clamp to sigma_retry (a masked per-row cap — global restart and
+        # adaptive schemes were tried and measured worse) and resumes on
+        # the next iteration at some accuracy cost on strongly-active
+        # constraints — the analogue of the reference accepting HPIPM's
+        # iterate after a status-4 reset (robot_ocp_problem.py:203-205).
+        # Pass sigma_retry=0 to disable (rows then freeze permanently).
+        sigma_retry = 1e5 if is32 else 1e10
     stat_tol = 1e-4 if is32 else 1e-8
     nx, nu = qp.A.shape[-1], qp.B.shape[-1]
     N = qp.A.shape[-3]
@@ -223,7 +239,8 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
 
     zero_x = jnp.zeros(qp.q.shape[:bnd] + (1, nx), dtype)
 
-    def iteration(st: _IpState, _):
+    def iteration(carry, _):
+        st, sig_cap = carry
         # ---- residuals --------------------------------------------------
         r_ul = (st.du - qp.lb_u) - st.t_ul
         r_uu = (qp.ub_u - st.du) - st.t_uu
@@ -253,7 +270,7 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
 
         # ---- sigmas & condensed Hessian --------------------------------
         def sig(l, t):
-            return jnp.clip(l / jnp.maximum(t, _T_FLOOR), 0.0, sigma_max)
+            return jnp.clip(l / jnp.maximum(t, _T_FLOOR), 0.0, bc(sig_cap, l))
 
         s_ul, s_uu = sig(st.l_ul, st.t_ul), sig(st.l_uu, st.t_uu)
         s_xl, s_xu = sig(st.l_xl, st.t_xl), sig(st.l_xu, st.t_xu)
@@ -402,10 +419,21 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
             t_h=upd(st.t_h, a_p, Dt_h, True), l_h=upd(st.l_h, a_d, Dl_h, True),
             l_s=upd(st.l_s, a_d, Dl_s, True),
         )
-        return new, (mu, stat, jnp.minimum(a_p, a_d), sig_c)
+        # rows that tripped the non-finite guard lower their own curvature
+        # clamp (monotone, one-way) so the next iteration's recomputed
+        # direction is finite and the row resumes
+        if sigma_retry:
+            cap_new = jnp.where(~finite,
+                                jnp.minimum(sig_cap,
+                                            jnp.asarray(sigma_retry, dtype)),
+                                sig_cap)
+        else:
+            cap_new = sig_cap
+        return (new, cap_new), (mu, stat, jnp.minimum(a_p, a_d), sig_c)
 
-    state, (mus, stats, alphas, sigs) = jax.lax.scan(
-        iteration, state, None, length=iters)
+    sig_cap0 = jnp.full(qp.A.shape[:bnd], sigma_max, dtype)
+    (state, _), (mus, stats, alphas, sigs) = jax.lax.scan(
+        iteration, (state, sig_cap0), None, length=iters)
 
     sol = IpSolution(dx=state.dx, du=state.du, s=state.s,
                      mu=mus[-1], kappa=kappa, stat_res=stats[-1])

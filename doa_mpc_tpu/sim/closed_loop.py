@@ -89,13 +89,23 @@ def metrics_of(state: LoopState) -> LoopMetrics:
 
 
 def init_loop_state(key, ctrl: RtiController, x_init, goal,
-                    scenario: str = "RANDOM", batch_shape=()) -> LoopState:
+                    scenario: str = "RANDOM", batch_shape=(),
+                    obst: ObstacleState | None = None) -> LoopState:
     """Fresh experiment (set_up_new_experiment, robot_ocp_problem.py:309):
-    new obstacles, cold-started solver, cleared metrics."""
+    new obstacles, cold-started solver, cleared metrics.
+
+    Pass ``obst`` to pin the obstacle world instead of sampling it — the
+    MT19937 compat mode supplies the reference's exact seeded worlds here
+    (``sim/compat_rng.mt_experiment_batch``)."""
     spec = ctrl.spec
     kobs, kloop = jax.random.split(key)
     dtype = x_init.dtype
-    obst = generate_obstacles(kobs, spec, scenario, batch_shape, dtype=dtype)
+    if obst is None:
+        obst = generate_obstacles(kobs, spec, scenario, batch_shape,
+                                  dtype=dtype)
+    else:
+        obst = ObstacleState(pos=jnp.asarray(obst.pos, dtype),
+                             vel=jnp.asarray(obst.vel, dtype))
 
     def one(x):
         return ctrl.initial_guess(x, jnp.asarray(goal, x.dtype))
@@ -208,6 +218,7 @@ def make_parametric_tick(ctrl: RtiController, random_move: bool = True,
 def make_tick(ctrl: RtiController, goal, params: CostParams,
               random_move: bool = True, return_pred: bool = False):
     """Fixed-goal tick (the plain closed loop; vmap for the batch)."""
+    goal, params = _hostify(goal), _hostify(params)
     ptick = make_parametric_tick(ctrl, random_move=random_move,
                                  return_pred=return_pred)
 
@@ -239,6 +250,7 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
     from doa_mpc_tpu.ops.ip_pallas import solve_ocp_qp_fused
     from doa_mpc_tpu.solver.sqp_rti import UNICYCLE_QP_STRUCTURE
 
+    goal, params = _hostify(goal), _hostify(params)
     spec, opts = ctrl.spec, ctrl.options
     n = spec.n_solv
     # every QP here comes from ctrl.build_qp, whose static structure
@@ -256,7 +268,9 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
                             structure=structure) > 14.5 * 2**20:
             backend = "pallas"
 
-    def tick(st: LoopState) -> LoopState:
+    def tick(st: LoopState, noise=None) -> LoopState:
+        # ``noise``: optional (B, M, 2) precomputed standard-normal draw for
+        # this tick's obstacle noise (MT19937 compat mode, sim/compat_rng.py)
         # 1. obstacle forecast (vectorized over the batch; scan over steps)
         pred = predict_trajectory(
             st.obst, spec, n, compat_pred_bug=opts.compat_pred_bug)
@@ -314,13 +328,17 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
         # 4. plant step
         x_new = ctrl.integrate(x0_eff, u0)
 
-        # 5. noisy obstacle world step (per-row keys)
+        # 5. noisy obstacle world step (per-row keys, or the compat stream)
         keys = jax.vmap(jax.random.split)(st.key)
         key, sub = keys[:, 0], keys[:, 1]
-        obst_new = jax.vmap(
-            lambda k, p, v: obstacle_step(k, ObstacleState(p, v), spec,
-                                          random_move=random_move)
-        )(sub, st.obst.pos, st.obst.vel)
+        if noise is None:
+            obst_new = jax.vmap(
+                lambda k, p, v: obstacle_step(k, ObstacleState(p, v), spec,
+                                              random_move=random_move)
+            )(sub, st.obst.pos, st.obst.vel)
+        else:
+            obst_new = obstacle_step(sub, st.obst, spec,
+                                     random_move=random_move, noise=noise)
 
         # 6. metrics (batched forms of robot_ocp_problem.py:213-250)
         oob = (st.oob | (jnp.abs(x_new[:, 0]) > spec.x_max)
@@ -353,28 +371,52 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
 
 def make_batched_rollout(ctrl: RtiController, goal, params: CostParams,
                          max_iter: int = 400, random_move: bool = True,
-                         backend: str = "xla", collect: bool = False):
-    """Scan the batched tick ``max_iter`` times."""
+                         backend: str = "xla", collect: bool = False,
+                         use_noise_traj: bool = False):
+    """Scan the batched tick ``max_iter`` times.
+
+    With ``use_noise_traj`` the rollout takes a second argument — a
+    ``(max_iter, B, M, 2)`` precomputed obstacle-noise stream (the MT19937
+    compat mode, ``sim/compat_rng.py``) — consumed one slice per tick."""
     tick = make_batched_tick(ctrl, goal, params, random_move=random_move,
                              backend=backend)
 
-    def rollout(st: LoopState):
-        def body(s, _):
-            s2 = tick(s)
+    def rollout(st: LoopState, noise_traj=None):
+        def body(s, xs):
+            s2 = tick(s, noise=xs)
             out = (s2.x0, s2.obst.pos) if collect else None
             return s2, out
 
-        final, traj = jax.lax.scan(body, st, None, length=max_iter)
+        final, traj = jax.lax.scan(body, st, noise_traj, length=max_iter)
         if collect:
             return final, traj
         return final
 
-    return rollout
+    if use_noise_traj:
+        return rollout
+    return lambda st: rollout(st, None)
 
 
 def _mask(done, ndim):
     """Broadcast the scalar done flag over an array of rank ndim."""
     return jnp.reshape(done, (1,) * ndim) if ndim else done
+
+
+def _hostify(tree):
+    """Snapshot concrete leaves of a closure-bound pytree to host numpy.
+
+    The tick factories close over ``goal``/``params``, and a jitted function
+    that captures an eager jax DEVICE array as a closure constant
+    permanently disables the axon TPU tunnel's async dispatch (~27 ms
+    synchronous round-trip per launch afterwards — measured; see
+    docs/DESIGN.md "dispatch poison"). numpy closures inline as HLO
+    literals and are safe. Tracer leaves (factory called under an outer
+    trace) are left untouched."""
+    import numpy as np
+
+    return jax.tree.map(
+        lambda l: l if isinstance(l, jax.core.Tracer) else np.asarray(l),
+        tree)
 
 
 def make_rollout(ctrl: RtiController, goal, params: CostParams,

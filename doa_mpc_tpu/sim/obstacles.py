@@ -94,15 +94,20 @@ def bounce_step(state: ObstacleState, spec, dt=None) -> ObstacleState:
     return ObstacleState(jnp.stack([px, py], -1), jnp.stack([vx, vy], -1))
 
 
-def obstacle_step(key, state: ObstacleState, spec, random_move: bool = True) -> ObstacleState:
+def obstacle_step(key, state: ObstacleState, spec, random_move: bool = True,
+                  noise=None) -> ObstacleState:
     """Simulation step: optional velocity noise, then bounce (visualization.py:20-33).
 
     Noise scales each velocity component by (1 + randomness * N(0,1)) and
     clamps to +-v_max_obst, matching the reference's per-obstacle
-    ``np.random.normal(size=2)`` draw.
+    ``np.random.normal(size=2)`` draw. Pass ``noise`` (same shape as vel) to
+    use a precomputed standard-normal draw — the MT19937 compat mode
+    (``sim/compat_rng.py``) feeds the reference's exact stream here.
     """
     if random_move:
-        noise = jax.random.normal(key, state.vel.shape, dtype=state.vel.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, state.vel.shape,
+                                      dtype=state.vel.dtype)
         vel = (1.0 + spec.randomness * noise) * state.vel
         vel = jnp.clip(vel, -spec.v_max_obst, spec.v_max_obst)
         state = ObstacleState(state.pos, vel)
@@ -157,7 +162,16 @@ def _predict_trajectory_scan(state: ObstacleState, spec, n: int) -> jnp.ndarray:
 
 def robot_start_goal(spec, margin: float = 1.0):
     """The canonical experiment start/goal (experiments.py:20):
-    start (X_MIN+1, Y_MIN+1) heading pi/4, goal (X_MAX-1, Y_MAX-1)."""
-    start = jnp.array([spec.x_min + margin, spec.y_min + margin, jnp.pi / 4, 0.0, 0.0])
-    goal = jnp.array([spec.x_max - margin, spec.y_max - margin])
+    start (X_MIN+1, Y_MIN+1) heading pi/4, goal (X_MAX-1, Y_MAX-1).
+
+    HOST (numpy) arrays on purpose: these flow into jit closures
+    (make_tick factories) and any device array fetched back to host — which
+    embedding a closure constant does internally — permanently degrades the
+    axon TPU tunnel to ~25 ms synchronous dispatch per launch (measured;
+    docs/DESIGN.md "dispatch poison")."""
+    import numpy as np
+
+    start = np.array([spec.x_min + margin, spec.y_min + margin,
+                      np.pi / 4, 0.0, 0.0], np.float32)
+    goal = np.array([spec.x_max - margin, spec.y_max - margin], np.float32)
     return start, goal

@@ -61,6 +61,14 @@ UNICYCLE_QP_STRUCTURE = QpStructure(
     c_cols=(0, 1), a_unit_cols=(0, 1), zl_eq_zl2=True)
 
 
+def _scatter_idxbx(vals, nx, dtype):
+    """Place vals[j] at state index IDXBX[j], zeros elsewhere — statically
+    unrolled (no scatter op; see the dispatch-poison note in build_qp)."""
+    pos = {s: j for j, s in enumerate(IDXBX)}
+    return jnp.stack([vals[pos[i]] if i in pos else jnp.zeros((), dtype)
+                      for i in range(nx)])
+
+
 class RtiState(NamedTuple):
     """Warm-started solver state carried across control ticks.
 
@@ -149,9 +157,13 @@ class RtiController:
         # --- LINEAR_LS Gauss-Newton cost --------------------------------
         sc = jnp.full((n + 1,), dt if opts.cost_scale_dt else 1.0, dtype)
         sc = sc.at[-1].set(1.0)
-        qsel = jnp.asarray(IDXBX)           # cost selects (x, y, v, omega)
-        w_q = jnp.zeros((nx,), dtype).at[qsel].set(params.q_diag)
-        w_qe = jnp.zeros((nx,), dtype).at[qsel].set(params.qe_diag)
+        # cost selects (x, y, v, omega). IDXBX is STATIC, so the select is
+        # unrolled into stack/stick ops — an index-array gather/scatter here
+        # compiles to a pathological path on the axon TPU tunnel that
+        # disables async dispatch for the whole process (~27 ms per launch
+        # afterwards, measured); see docs/DESIGN.md "dispatch poison".
+        w_q = _scatter_idxbx(params.q_diag, nx, dtype)
+        w_qe = _scatter_idxbx(params.qe_diag, nx, dtype)
         yref = jnp.zeros((nx,), dtype).at[0].set(goal[0]).at[1].set(goal[1])
 
         # Levenberg-Marquardt enters INSIDE the dt-scaled stage cost, the
@@ -187,8 +199,9 @@ class RtiController:
         lo = jnp.stack([-params.x_bound, -params.x_bound,
                         -params.v_bound, -params.v_bound])
         hi = -lo
-        lb_x = lo[None] - xg[:, qsel]
-        ub_x = hi[None] - xg[:, qsel]
+        xg_sel = jnp.stack([xg[:, i] for i in IDXBX], axis=-1)
+        lb_x = lo[None] - xg_sel
+        ub_x = hi[None] - xg_sel
         big = jnp.full((1, nbx), BIG_BOUND, dtype)
         # acados applies lbx/ubx to stages 1..N-1 only; stage 0 is the x0
         # equality, the terminal stage has no box (robot_ocp_problem.py:87-97)
@@ -202,7 +215,7 @@ class RtiController:
 
         # distance-scaled, stage-discounted slack weights
         # (robot_ocp_problem.py:145-152)
-        selx0 = x0[qsel]
+        selx0 = jnp.stack([x0[i] for i in IDXBX])
         goal4 = jnp.zeros((nbx,), dtype).at[0].set(goal[0]).at[1].set(goal[1])
         scale = params.slack_scale * (
             jnp.sum((selx0 - goal4) ** 2) + params.slack_offset)

@@ -42,11 +42,14 @@ st0 = init_loop_state(jax.random.PRNGKey(0), ctrl, start, goal, "RANDOM",
 
 
 def timeit(name, fn, *args):
-    out = jax.block_until_ready(jax.jit(fn)(*args))
+    # jit ONCE and reuse the wrapper: re-wrapping per call retraces the
+    # whole scan on the host and dwarfs the device time being measured
+    jf = jax.jit(fn)
+    out = jax.block_until_ready(jf(*args))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        out = jax.block_until_ready(jax.jit(fn)(*args))
+        out = jax.block_until_ready(jf(*args))
         best = min(best, time.perf_counter() - t0)
     print(f"{name:10s}: {best / TICKS * 1e3:7.3f} ms/tick", flush=True)
     return out
