@@ -34,6 +34,38 @@ def _backend_arg(p):
                    choices=["auto", "xla", "pallas", "fused"],
                    help="QP solver backend; 'auto' = fused Pallas kernel "
                         "on TPU, XLA elsewhere")
+    p.add_argument("--distributed", action="store_true",
+                   help="join a multi-process jax.distributed job (config "
+                        "from JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                        "JAX_PROCESS_ID or the cluster autodetect) and "
+                        "shard the scenario batch over the global mesh; "
+                        "host 0 writes the artifacts")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the scenario batch over the local devices "
+                        "(single-process data parallelism); implied by "
+                        "--distributed")
+
+
+def _resolve_mesh(args):
+    """Build the ("data",) device mesh requested by --distributed/--mesh.
+
+    --distributed additionally joins the multi-process runtime first
+    (parallel/distributed.initialize). Returns None when neither flag is
+    set (plain single-device run).
+
+    Launch recipe (one command per host):
+
+        JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=4 \
+        JAX_PROCESS_ID=<i> python -m doa_mpc_tpu experiment --distributed ...
+    """
+    if not (getattr(args, "distributed", False)
+            or getattr(args, "mesh", False)):
+        return None
+    if args.distributed:
+        from doa_mpc_tpu.parallel.distributed import initialize
+        initialize()
+    from doa_mpc_tpu.parallel.mesh import make_data_mesh
+    return make_data_mesh()
 
 
 def _resolve_backend(name: str) -> str:
@@ -54,6 +86,12 @@ def _make(args):
 
 
 def main(argv=None):
+    import os
+    if os.environ.get("DOA_MPC_PLATFORM"):
+        # test harnesses force the platform (the interpreter's sitecustomize
+        # registers the TPU plugin, so JAX_PLATFORMS alone is ignored)
+        import jax
+        jax.config.update("jax_platforms", os.environ["DOA_MPC_PLATFORM"])
     parser = argparse.ArgumentParser(prog="doa_mpc_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
@@ -100,15 +138,17 @@ def main(argv=None):
         spec, opts, dtype = _make(args)
         run_experiment(spec=spec, opts=opts, scenarios=tuple(args.scenarios),
                        n_runs=args.runs, max_iter=args.max_iter,
-                       out_dir=args.out, dtype=dtype,
+                       out_dir=args.out, dtype=dtype, mesh=_resolve_mesh(args),
                        backend=_resolve_backend(args.backend))
     elif args.cmd == "sweep":
         from doa_mpc_tpu.sim.experiments import run_horizon_sweep
         run_horizon_sweep(n_runs=args.runs, out_dir=args.out, verbose=True,
+                          mesh=_resolve_mesh(args),
                           backend=_resolve_backend(args.backend))
     elif args.cmd == "qp-sweep":
         from doa_mpc_tpu.sim.experiments import run_qp_iter_sweep
         run_qp_iter_sweep(n_runs=args.runs, out_dir=args.out, verbose=True,
+                          mesh=_resolve_mesh(args),
                           backend=_resolve_backend(args.backend))
     elif args.cmd == "demo":
         _demo(args)

@@ -1,9 +1,17 @@
 """ctypes bindings for the native CPU OCP core (``native/ocp_core.cpp``).
 
 Loads (building on demand if needed) the dependency-free C++ library that
-mirrors the reference's acados-C tier: a dense Riccati LQR solve and the
-unicycle RK4/IRK integrators. Used as an independent oracle for the JAX
-kernels and as a CPU-only runtime.
+mirrors the reference's acados-C tier:
+
+- ``ip_solve`` — the FULL production QP (box constraints + L1/L2-slacked
+  obstacle constraints, robot_ocp_problem.py:106-122) solved by the same
+  Mehrotra predictor-corrector algorithm as ``ops/ip_qp.py``, f64, single
+  scenario with early exit. This is the single-scenario CPU runtime for
+  deployments without an accelerator AND an independent oracle for the
+  production QP path (tests/test_native.py cross-checks it against the
+  f64 JAX solver).
+- ``riccati_solve`` — the unconstrained dense Riccati LQR.
+- ``rk4_step`` / ``irk3_step`` — the unicycle integrators.
 """
 
 from __future__ import annotations
@@ -36,6 +44,11 @@ def _load():
     lib.unicycle_rk4.argtypes = [dp, dp, ctypes.c_double, dp]
     lib.unicycle_irk3.restype = None
     lib.unicycle_irk3.argtypes = [dp, dp, ctypes.c_double, ctypes.c_int, dp]
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.ocp_ip_solve.restype = ctypes.c_int
+    lib.ocp_ip_solve.argtypes = (
+        [ctypes.c_int] * 5 + [ip] + [dp] * 17 + [ctypes.c_int]
+        + [ctypes.c_double] * 5 + [dp] * 5)
     _lib = lib
     return lib
 
@@ -68,6 +81,59 @@ def riccati_solve(Q, q, R, r, S, A, B, d, x0, reg: float = 0.0):
     if status != 0:
         raise RuntimeError(f"native riccati failed with status {status}")
     return xo, uo
+
+
+def ip_solve(qp, idxbx, iters: int = 50, tau: float = 0.99,
+             reg: float = 1e-9, tol: float = 1e-10, stat_tol: float = 1e-8,
+             sigma_max: float = 1e12, normalize: bool = True):
+    """Native soft-constrained interior-point solve of one OCP QP.
+
+    ``qp`` is an ``ops.ocp_qp.OcpQp`` WITHOUT a batch axis (single
+    scenario); ``idxbx`` the static state-box selection. Returns
+    ``(dx, du, s, mu, stat, iters_used)``; ``iters_used`` is -1 if the
+    solve stopped on a non-finite direction (iterate kept at the last
+    finite state) — the caller's status-4 analogue.
+
+    ``normalize`` rescales the objective so its largest coefficient is O(1)
+    before solving (ops.ocp_qp.normalize_cost semantics) — the production
+    slack penalties reach ~1e6 while R has entries 0.15, a spread that
+    stalls ANY interior point; the primal solution is unchanged and the
+    returned mu/stat are in normalized units, matching the JAX solver.
+    """
+    lib = _load()
+    N, nx, nu = qp.A.shape[0], qp.A.shape[1], qp.B.shape[2]
+    M, nbx = qp.C.shape[1], len(idxbx)
+    if normalize:
+        kappa = max(float(np.max(np.abs(np.diagonal(
+                        np.asarray(qp.Q), axis1=-2, axis2=-1)))),
+                    float(np.max(np.abs(np.diagonal(
+                        np.asarray(qp.R), axis1=-2, axis2=-1)))),
+                    float(np.max(np.asarray(qp.zl))),
+                    float(np.max(np.asarray(qp.Zl))), 1.0)
+        inv = 1.0 / kappa
+        qp = qp._replace(
+            Q=np.asarray(qp.Q) * inv, q=np.asarray(qp.q) * inv,
+            R=np.asarray(qp.R) * inv, r=np.asarray(qp.r) * inv,
+            S=np.asarray(qp.S) * inv,
+            zl=np.asarray(qp.zl) * inv, Zl=np.asarray(qp.Zl) * inv)
+    idx = np.ascontiguousarray(np.asarray(idxbx, np.int32))
+    holds = [_c(np.asarray(v)) for v in
+             (qp.A, qp.B, qp.c, qp.dx0, qp.Q, qp.q, qp.R, qp.r, qp.S,
+              qp.lb_u, qp.ub_u, qp.lb_x, qp.ub_x, qp.C, qp.hval,
+              qp.zl, qp.Zl)]
+    ptrs = [h[1] for h in holds]
+    dx, dx_p = _c(np.zeros((N + 1, nx)))
+    du, du_p = _c(np.zeros((N, nu)))
+    s, s_p = _c(np.zeros((N + 1, M)))
+    mu = ctypes.c_double()
+    stat = ctypes.c_double()
+    used = lib.ocp_ip_solve(
+        N, nx, nu, M, nbx, idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        *ptrs, iters, ctypes.c_double(tau), ctypes.c_double(reg),
+        ctypes.c_double(tol), ctypes.c_double(stat_tol),
+        ctypes.c_double(sigma_max), dx_p, du_p, s_p,
+        ctypes.byref(mu), ctypes.byref(stat))
+    return dx, du, s, mu.value, stat.value, used
 
 
 def rk4_step(x, u, dt: float):

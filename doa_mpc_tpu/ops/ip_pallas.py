@@ -188,29 +188,47 @@ class _Layout:
 
 
 def _layouts(nx, nu, M, nbx, st=None):
+    """Packed-field layouts.
+
+    Round-4 footprint design (each item cuts VMEM with zero precision loss;
+    together they fit ``sublane_batch=8`` at N=20/M=5 in ~14.4 MB):
+
+    - QP data is split into an (N+1)-stage array (cost/constraint fields)
+      and an N-stage array (dynamics/control fields) so N-stage fields no
+      longer pay an extra padded stage, and ``dx0`` is its own tiny input
+      instead of a full stage-width column.
+    - The Riccati value matrix P is stored as its upper triangle
+      (nx*(nx+1)/2 instead of nx^2) — it is symmetric by construction.
+    - Only the stationarity residual ``rx`` is stored; every other residual
+      (box/soft/control) is stage-local in the state and recomputed on use
+      (a handful of VPU ops against a ~2 MB scratch array).
+    - The affine pass stores the affine (dx, du) per stage ("ax"/"au");
+      the corrector's dt*dl pair products are recomputed from them via the
+      exact same delta formulas, which is bit-identical to storing the
+      products (same operands, same ops) at a third of the width.
+    """
     st = st or GENERIC_STRUCTURE
     ntri = nu * (nu + 1) // 2
     ncc = len(st.c_cols) if st.c_cols is not None else nx
     na = nx - len(st.a_unit_cols)
-    fields = [
+    xfields = [
         ("Q", nx if st.q_diag else nx * nx), ("q", nx), ("C", M * ncc),
         ("h", M), ("zl", M)]
     if not st.zl_eq_zl2:
-        fields.append(("Zl", M))
-    fields += [("lbx", nbx), ("ubx", nbx), ("dx0", nx),
-               ("A", nx * na), ("B", nx * nu), ("c", nx),
+        xfields.append(("Zl", M))
+    xfields += [("lbx", nbx), ("ubx", nbx)]
+    ufields = [("A", nx * na), ("B", nx * nu), ("c", nx),
                ("R", nu if st.r_diag else nu * nu)]
     if not st.s_zero:
-        fields.append(("S", nu * nx))
-    fields += [("r", nu), ("lbu", nu), ("ubu", nu)]
-    qpd = _Layout(*fields)
-    ric = _Layout(("P", nx * nx), ("K", nu * nx), ("L", ntri),
+        ufields.append(("S", nu * nx))
+    ufields += [("r", nu), ("lbu", nu), ("ubu", nu)]
+    qpx = _Layout(*xfields)
+    qpu = _Layout(*ufields)
+    ric = _Layout(("P", nx * (nx + 1) // 2), ("K", nu * nx), ("L", ntri),
                   ("kff", nu), ("pn", nx))
-    res = _Layout(("rx", nx), ("rxl", nbx), ("rxu", nbx), ("rh", M),
-                  ("rs", M), ("ru", nu), ("rul", nu), ("ruu", nu))
-    aff = _Layout(("pul", nu), ("puu", nu), ("pxl", nbx), ("pxu", nbx),
-                  ("ph", M), ("ps", M))
-    return qpd, ric, res, aff
+    res = _Layout(("rx", nx))
+    aff = _Layout(("ax", nx), ("au", nu))
+    return qpx, qpu, ric, res, aff
 
 
 def _pad8(w):
@@ -219,24 +237,25 @@ def _pad8(w):
 
 def fused_vmem_bytes(N, M, nx=5, nu=2, nbx=None, tile=128, sb=1,
                      itemsize=4, structure=None):
-    """Estimate of the kernel's VMEM footprint (inputs double-buffered).
+    """Estimate of the kernel's VMEM footprint.
 
     Used by callers to decide whether the fused backend (at a given
     sublane-batch factor ``sb``) fits the ~16 MB VMEM of one TPU core
     before paying a compile.
     """
     nbx = len(IDXBX) if nbx is None else nbx
-    qpd, ric, res, aff = _layouts(nx, nu, M, nbx, structure)
+    qpx, qpu, ric, res, aff = _layouts(nx, nu, M, nbx, structure)
     st = N + 1
 
     def p(w):
         return _pad8(w * sb)
 
-    # QP data is DMA'd once per tile into a single VMEM scratch copy (no
-    # pipelined double-buffering); corrector deltas are recomputed in the
-    # apply pass, so there is no corrector scratch.
-    inp = st * p(qpd.width)
-    outs = 2 * (st * p(nx) + N * p(nu) + st * p(M) + 2 * p(1))
+    # QP data is DMA'd once per tile into single VMEM scratch copies (no
+    # pipelined double-buffering); dx/du/s outputs are DMA'd straight from
+    # the state scratch (no output blocks); corrector deltas are recomputed
+    # in the apply pass, so there is no corrector scratch.
+    inp = st * p(qpx.width) + N * p(qpu.width) + p(nx)
+    outs = 2 * 2 * p(1)                         # mu/stat blocks only
     state = (st * (p(nx) + 4 * p(M) + 4 * p(nbx))
              + N * (5 * p(nu) + p(nx)))
     work = (N * p(ric.width)
@@ -267,6 +286,29 @@ def _smat(ref, k, off, A):
     for i, row in enumerate(A):
         for j, x in enumerate(row):
             ref[k, off + i * cols + j] = x
+
+
+def _ssym(ref, k, off, A):
+    """Store the upper triangle of a symmetric matrix, row-major."""
+    n = len(A)
+    idx = 0
+    for i in range(n):
+        for j in range(i, n):
+            ref[k, off + idx] = A[i][j]
+            idx += 1
+
+
+def _lsym(ref, k, off, n):
+    """Load a symmetric matrix stored by ``_ssym`` back to full form."""
+    A = [[None] * n for _ in range(n)]
+    idx = 0
+    for i in range(n):
+        for j in range(i, n):
+            v = ref[k, off + idx]
+            A[i][j] = v
+            A[j][i] = v
+            idx += 1
+    return A
 
 
 
@@ -369,70 +411,80 @@ def _uloop(n, body, carry, su, reverse=False):
 # ---------------------------------------------------------------------------
 
 def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
-                     stat_tol, sigma_max, n_pairs, ST, LQ, LR, LRES, LAFF,
-                     QPD_hbm,
+                     stat_tol, sigma_max, n_pairs, ST, LQX, LQU, LR, LRES,
+                     LAFF,
+                     QPX_hbm, QPU_hbm, DX0_in,
                      dx_o, du_o, s_o, mu_o, stat_o,
-                     QPDv, dma_sem,
+                     QPXv, QPUv, sem_x, sem_u, sem_out,
                      SDX, SDU, SS, SNU,
                      STUL, SLUL, STUU, SLUU,
                      STXL, SLXL, STXU, SLXU,
                      STH, SLH, SLS,
                      RIC, RES, AFFP):
     # QP data stays in HBM (memory_space=ANY) and is copied ONCE per batch
-    # tile into a single VMEM scratch buffer — half the footprint of the
+    # tile into single VMEM scratch buffers — half the footprint of the
     # pipelined double-buffering BlockSpecs would use, and the copy (a few
     # MB at ~1 TB/s) is negligible next to the tile's multi-ms solve.
+    # Two arrays: (N+1)-stage cost/constraint fields and N-stage dynamics
+    # fields (see _layouts). dx/du/s outputs are ANY (HBM) and receive the
+    # state scratch by DMA at the end — no VMEM output blocks.
     b = pl.program_id(0)
-    cp = pltpu.make_async_copy(QPD_hbm.at[b], QPDv, dma_sem)
-    cp.start()
-    cp.wait()
-    # outputs are leading-dim grid blocks (lane-dim blocking deadlocks when
-    # combined with manual DMA on this toolchain); drop the unit dim
-    dx_o, du_o, s_o, mu_o, stat_o = (
-        r.at[0] for r in (dx_o, du_o, s_o, mu_o, stat_o))
-    (QPD, dx_o, du_o, s_o, mu_o, stat_o,
+    cpx = pltpu.make_async_copy(QPX_hbm.at[b], QPXv, sem_x)
+    cpu = pltpu.make_async_copy(QPU_hbm.at[b], QPUv, sem_u)
+    cpx.start()
+    cpu.start()
+    cpx.wait()
+    cpu.wait()
+    SDXr, SDUr, SSr = SDX, SDU, SS          # raw refs for the output DMA
+    mu_o, stat_o = (r.at[0] for r in (mu_o, stat_o))
+    (QPX, QPU, DX0, mu_o, stat_o,
      SDX, SDU, SS, SNU, STUL, SLUL, STUU, SLUU,
      STXL, SLXL, STXU, SLXU, STH, SLH, SLS,
      RIC, RES, AFFP) = [
-        _R(r, sb) for r in (QPDv, dx_o, du_o, s_o, mu_o, stat_o,
+        _R(r, sb) for r in (QPXv, QPUv, DX0_in.at[0], mu_o, stat_o,
                             SDX, SDU, SS, SNU, STUL, SLUL, STUU, SLUU,
                             STXL, SLXL, STXU, SLXU, STH, SLH, SLS,
                             RIC, RES, AFFP)]
     idxbx = list(IDXBX)
     ntri = nu * (nu + 1) // 2
     f32max = 3.0e38
-    zero = jnp.zeros_like(QPD[0, 0])
+    zero = jnp.zeros_like(QPX[0, 0])
+
+    def qref(name):
+        return (QPX, LQX) if name in LQX.o else (QPU, LQU)
 
     def qv(k, name, n):
-        return _lv(QPD, k, LQ.o[name], n)
+        ref, lay = qref(name)
+        return _lv(ref, k, lay.o[name], n)
 
     def qm(k, name, rows, cols):
         """Load a stage matrix, rebuilding declared structure symbolically:
         structurally-zero/unit entries come back as Python floats, which the
         symbolic algebra (_smul/_sadd) folds away at trace time."""
+        ref, lay = qref(name)
         if name == "Q" and ST.q_diag:
-            d = _lv(QPD, k, LQ.o["Q"], nx)
+            d = _lv(ref, k, lay.o["Q"], nx)
             return [[d[i] if i == j else 0.0 for j in range(nx)]
                     for i in range(nx)]
         if name == "R" and ST.r_diag:
-            d = _lv(QPD, k, LQ.o["R"], nu)
+            d = _lv(ref, k, lay.o["R"], nu)
             return [[d[i] if i == j else 0.0 for j in range(nu)]
                     for i in range(nu)]
         if name == "S" and ST.s_zero:
             return [[0.0] * nx for _ in range(nu)]
         if name == "C" and ST.c_cols is not None:
-            vals = _lm(QPD, k, LQ.o["C"], M, len(ST.c_cols))
+            vals = _lm(ref, k, lay.o["C"], M, len(ST.c_cols))
             cmap = {c: i for i, c in enumerate(ST.c_cols)}
             return [[vals[m][cmap[j]] if j in cmap else 0.0
                      for j in range(nx)] for m in range(M)]
         if name == "A" and ST.a_unit_cols:
             kept = [j for j in range(nx) if j not in ST.a_unit_cols]
-            vals = _lm(QPD, k, LQ.o["A"], nx, len(kept))
+            vals = _lm(ref, k, lay.o["A"], nx, len(kept))
             kmap = {c: i for i, c in enumerate(kept)}
             return [[(1.0 if i == j else 0.0) if j in ST.a_unit_cols
                      else vals[i][kmap[j]] for j in range(nx)]
                     for i in range(nx)]
-        return _lm(QPD, k, LQ.o[name], rows, cols)
+        return _lm(ref, k, lay.o[name], rows, cols)
 
     def sdx(k):
         return [SDX[k, i] for i in range(nx)]
@@ -447,7 +499,7 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
     t_min = 0.1
     mu0 = 1.0
 
-    x = qv(0, "dx0", nx)
+    x = [DX0[0, i] for i in range(nx)]
     for i in range(nx):
         SDX[0, i] = x[i]
 
@@ -502,8 +554,47 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
     # ================= per-iteration helpers ==============================
     def Zl_at(k):
         name = "zl" if ST.zl_eq_zl2 else "Zl"
-        return [jnp.maximum(QPD[k, LQ.o[name] + m], _ZL_FLOOR)
+        return [jnp.maximum(QPX[k, LQX.o[name] + m], _ZL_FLOOR)
                 for m in range(M)]
+
+    # --- stage-local residuals, recomputed on use (not stored) ------------
+    # Every residual except the stationarity rx is a few elementwise ops on
+    # stage-local state; recomputing them wherever the old code read the
+    # RES scratch trades a handful of VPU ops for ~2 MB of VMEM (the whole
+    # point: fitting sublane_batch=8). All passes read the same pre-update
+    # state, so recomputed values equal the previously stored ones exactly.
+    def res_box_x(k, dxk=None):
+        dxk = sdx(k) if dxk is None else dxk
+        lbx = qv(k, "lbx", nbx)
+        ubx = qv(k, "ubx", nbx)
+        rxl = [dxk[idxbx[i]] - lbx[i] - STXL[k, i] for i in range(nbx)]
+        rxu = [ubx[i] - dxk[idxbx[i]] - STXU[k, i] for i in range(nbx)]
+        return rxl, rxu
+
+    def res_soft(k):
+        Cdx = _mv(qm(k, "C", M, nx), sdx(k))
+        h = qv(k, "h", M)
+        zl = qv(k, "zl", M)
+        Zk = Zl_at(k)
+        rh = [h[m] + Cdx[m] + SS[k, m] - STH[k, m] for m in range(M)]
+        rs = [Zk[m] * SS[k, m] + zl[m] - SLH[k, m] - SLS[k, m]
+              for m in range(M)]
+        return rh, rs
+
+    def res_box_u(k):
+        duk = sdu(k)
+        lbu = qv(k, "lbu", nu)
+        ubu = qv(k, "ubu", nu)
+        rul = [duk[i] - lbu[i] - STUL[k, i] for i in range(nu)]
+        ruu = [ubu[i] - duk[i] - STUU[k, i] for i in range(nu)]
+        return rul, ruu
+
+    def res_u_at(k):
+        acc = _vadd(_vadd(_mv(qm(k, "R", nu, nu), sdu(k)), qv(k, "r", nu)),
+                    _mv(qm(k, "S", nu, nx), sdx(k)))
+        Btn = _mv(_mt(qm(k, "B", nx, nu)), snu(k))
+        return [acc[i] - Btn[i] - (SLUL[k, i] - SLUU[k, i])
+                for i in range(nu)]
 
     def sig(l, t):
         return jnp.clip(l / jnp.maximum(t, _T_FLOOR), 0.0, sigma_max)
@@ -533,23 +624,11 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
         return jnp.minimum(a, ratio)
 
     def iteration(it, carry_none):
-        # ================= PHASE 0: residuals -> RES ======================
+        # ===== PHASE 0: duality measure + stationarity residual rx =======
         def res_x_body(k, mu):
-            dxk = sdx(k)
-            lbx = qv(k, "lbx", nbx)
-            ubx = qv(k, "ubx", nbx)
             for i in range(nbx):
-                RES[k, LRES.o["rxl"] + i] = dxk[idxbx[i]] - lbx[i] - STXL[k, i]
-                RES[k, LRES.o["rxu"] + i] = ubx[i] - dxk[idxbx[i]] - STXU[k, i]
                 mu = mu + STXL[k, i] * SLXL[k, i] + STXU[k, i] * SLXU[k, i]
-            Cdx = _mv(qm(k, "C", M, nx), dxk)
-            h = qv(k, "h", M)
-            zl = qv(k, "zl", M)
-            Zk = Zl_at(k)
             for m in range(M):
-                RES[k, LRES.o["rh"] + m] = h[m] + Cdx[m] + SS[k, m] - STH[k, m]
-                RES[k, LRES.o["rs"] + m] = (Zk[m] * SS[k, m] + zl[m]
-                                            - SLH[k, m] - SLS[k, m])
                 mu = mu + STH[k, m] * SLH[k, m] + SS[k, m] * SLS[k, m]
             return mu
 
@@ -582,20 +661,11 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
 
         def res_u_body(k, carry):
             mu, stat = carry
-            duk = sdu(k)
-            lbu = qv(k, "lbu", nu)
-            ubu = qv(k, "ubu", nu)
             for i in range(nu):
-                RES[k, LRES.o["rul"] + i] = duk[i] - lbu[i] - STUL[k, i]
-                RES[k, LRES.o["ruu"] + i] = ubu[i] - duk[i] - STUU[k, i]
                 mu = mu + STUL[k, i] * SLUL[k, i] + STUU[k, i] * SLUU[k, i]
-            acc = _vadd(_vadd(_mv(qm(k, "R", nu, nu), duk), qv(k, "r", nu)),
-                        _mv(qm(k, "S", nu, nx), sdx(k)))
-            Btn = _mv(_mt(qm(k, "B", nx, nu)), snu(k))
+            ru = res_u_at(k)
             for i in range(nu):
-                v = acc[i] - Btn[i] - (SLUL[k, i] - SLUU[k, i])
-                RES[k, LRES.o["ru"] + i] = v
-                stat = jnp.maximum(stat, jnp.abs(v))
+                stat = jnp.maximum(stat, jnp.abs(ru[i]))
             return mu, stat
 
         mu, stat = _uloop(N, res_u_body, (mu, stat), su)
@@ -623,7 +693,7 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
 
         def fac_body(i, P):
             k = N - 1 - i
-            _smat(RIC, k, LR.o["P"], P)
+            _ssym(RIC, k, LR.o["P"], P)
             Ak = qm(k, "A", nx, nx)
             Bk = qm(k, "B", nx, nu)
             BT = _mt(Bk)
@@ -657,6 +727,19 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
         _uloop(N, lambda i, P: fac_body(i, P), P_N, su)
 
         # ================= direction machinery ============================
+        # The affine pass stores its (dx, du) per stage; the corrector's
+        # dt_aff*dl_aff pair products are recomputed from them through the
+        # exact affine delta formulas — identical operands and ops, so the
+        # values are bit-identical to the products the old code stored.
+        def afx(k):
+            return [AFFP[k, LAFF.o["ax"] + i] for i in range(nx)]
+
+        def afu(k):
+            return [AFFP[k, LAFF.o["au"] + i] for i in range(nu)]
+
+        def bc2(t, l, prod, mu_t):
+            return (mu_t - t * l - prod) / jnp.maximum(t, _T_FLOOR)
+
         def betas_x(k, corrector, mu_t):
             if not corrector:
                 b_xl = [-SLXL[k, i] for i in range(nbx)]
@@ -664,58 +747,65 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
                 b_h = [-SLH[k, m] for m in range(M)]
                 b_s = [-SLS[k, m] for m in range(M)]
             else:
-                def bc2(t, l, prod):
-                    return (mu_t - t * l - prod) / jnp.maximum(t, _T_FLOOR)
-
+                soft_a, box_a = x_deltas(k, afx(k), False, None)
                 b_xl = [bc2(STXL[k, i], SLXL[k, i],
-                            AFFP[k, LAFF.o["pxl"] + i]) for i in range(nbx)]
+                            box_a[i][0] * box_a[i][2], mu_t)
+                        for i in range(nbx)]
                 b_xu = [bc2(STXU[k, i], SLXU[k, i],
-                            AFFP[k, LAFF.o["pxu"] + i]) for i in range(nbx)]
+                            box_a[i][1] * box_a[i][3], mu_t)
+                        for i in range(nbx)]
                 b_h = [bc2(STH[k, m], SLH[k, m],
-                           AFFP[k, LAFF.o["ph"] + m]) for m in range(M)]
+                           soft_a[m][1] * soft_a[m][2], mu_t)
+                       for m in range(M)]
                 b_s = [bc2(SS[k, m], SLS[k, m],
-                           AFFP[k, LAFF.o["ps"] + m]) for m in range(M)]
+                           soft_a[m][0] * soft_a[m][3], mu_t)
+                       for m in range(M)]
             return b_xl, b_xu, b_h, b_s
 
         def betas_u(k, corrector, mu_t):
             if not corrector:
                 return ([-SLUL[k, i] for i in range(nu)],
                         [-SLUU[k, i] for i in range(nu)])
-
-            def bc2(t, l, prod):
-                return (mu_t - t * l - prod) / jnp.maximum(t, _T_FLOOR)
-
-            b_ul = [bc2(STUL[k, i], SLUL[k, i], AFFP[k, LAFF.o["pul"] + i])
-                    for i in range(nu)]
-            b_uu = [bc2(STUU[k, i], SLUU[k, i], AFFP[k, LAFF.o["puu"] + i])
-                    for i in range(nu)]
+            uk_a = afu(k)
+            rul, ruu = res_box_u(k)
+            sul, suu = sigmas_u(k)
+            b_ul, b_uu = [], []
+            for i in range(nu):
+                dtul = uk_a[i] + rul[i]
+                dtuu = -uk_a[i] + ruu[i]
+                dlul = -SLUL[k, i] - sul[i] * dtul
+                dluu = -SLUU[k, i] - suu[i] * dtuu
+                b_ul.append(bc2(STUL[k, i], SLUL[k, i], dtul * dlul, mu_t))
+                b_uu.append(bc2(STUU[k, i], SLUU[k, i], dtuu * dluu, mu_t))
             return b_ul, b_uu
 
         def qbar_at(k, corrector, mu_t):
             b_xl, b_xu, b_h, b_s = betas_x(k, corrector, mu_t)
             sxl, sxu = sigmas_x(k)
             sh, ss, zeta, _ = sigmas_h(k)
+            rxl, rxu = res_box_x(k)
+            rh_l, rs_l = res_soft(k)
             acc = [RES[k, LRES.o["rx"] + i] for i in range(nx)]
             for i in range(nbx):
                 acc[idxbx[i]] = (acc[idxbx[i]]
-                                 - (b_xl[i] - sxl[i] * RES[k, LRES.o["rxl"] + i])
-                                 + (b_xu[i] - sxu[i] * RES[k, LRES.o["rxu"] + i]))
+                                 - (b_xl[i] - sxl[i] * rxl[i])
+                                 + (b_xu[i] - sxu[i] * rxu[i]))
             Ck = qm(k, "C", M, nx)
             bh_hat = []
             for m in range(M):
-                rh = RES[k, LRES.o["rh"] + m]
-                rho = (-RES[k, LRES.o["rs"] + m] + b_h[m] + b_s[m]
-                       - sh[m] * rh)
-                bh_hat.append(b_h[m] - sh[m] * rh - sh[m] * rho / zeta[m])
+                rho = (-rs_l[m] + b_h[m] + b_s[m] - sh[m] * rh_l[m])
+                bh_hat.append(b_h[m] - sh[m] * rh_l[m] - sh[m] * rho / zeta[m])
             Ctb = _mv(_mt(Ck), bh_hat)
             return [_ssub(acc[i], Ctb[i]) for i in range(nx)]
 
         def rbar_at(k, corrector, mu_t):
             b_ul, b_uu = betas_u(k, corrector, mu_t)
             sul, suu = sigmas_u(k)
-            return [RES[k, LRES.o["ru"] + i]
-                    - (b_ul[i] - sul[i] * RES[k, LRES.o["rul"] + i])
-                    + (b_uu[i] - suu[i] * RES[k, LRES.o["ruu"] + i])
+            rul, ruu = res_box_u(k)
+            ru = res_u_at(k)
+            return [ru[i]
+                    - (b_ul[i] - sul[i] * rul[i])
+                    + (b_uu[i] - suu[i] * ruu[i])
                     for i in range(nu)]
 
         def dyn_gap(k):
@@ -730,7 +820,7 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
             def bb(i, p):
                 k = N - 1 - i
                 _svec(RIC, k, LR.o["pn"], p)
-                Pk1 = _lm(RIC, k, LR.o["P"], nx, nx)
+                Pk1 = _lsym(RIC, k, LR.o["P"], nx)
                 Lf = _lv(RIC, k, LR.o["L"], ntri)
                 Kk = _lm(RIC, k, LR.o["K"], nu, nx)
                 d = dyn_gap(k)
@@ -756,21 +846,21 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
             b_xl, b_xu, b_h, b_s = betas_x(k, corrector, mu_t)
             sxl, sxu = sigmas_x(k)
             sh, ss, zeta, _ = sigmas_h(k)
+            rxl, rxu = res_box_x(k)
+            rh_l, rs_l = res_soft(k)
             CD = _mv(qm(k, "C", M, nx), xk)
             soft = []
             for m in range(M):
-                rh = RES[k, LRES.o["rh"] + m]
-                rho = (-RES[k, LRES.o["rs"] + m] + b_h[m] + b_s[m]
-                       - sh[m] * rh)
+                rho = (-rs_l[m] + b_h[m] + b_s[m] - sh[m] * rh_l[m])
                 ds = (rho - sh[m] * CD[m]) / zeta[m]
-                dth = CD[m] + ds + rh
+                dth = CD[m] + ds + rh_l[m]
                 dlh = b_h[m] - sh[m] * dth
                 dls = b_s[m] - ss[m] * ds
                 soft.append((ds, dth, dlh, dls))
             box = []
             for i in range(nbx):
-                dtxl = xk[idxbx[i]] + RES[k, LRES.o["rxl"] + i]
-                dtxu = -xk[idxbx[i]] + RES[k, LRES.o["rxu"] + i]
+                dtxl = xk[idxbx[i]] + rxl[i]
+                dtxu = -xk[idxbx[i]] + rxu[i]
                 dlxl = b_xl[i] - sxl[i] * dtxl
                 dlxu = b_xu[i] - sxu[i] * dtxu
                 box.append((dtxl, dtxu, dlxl, dlxu))
@@ -783,10 +873,11 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
             kff = _lv(RIC, k, LR.o["kff"], nu)
             uk = _vadd(_mv(Kk, xk), kff)
             sul, suu = sigmas_u(k)
+            rul, ruu = res_box_u(k)
             ud = []
             for i in range(nu):
-                dtul = uk[i] + RES[k, LRES.o["rul"] + i]
-                dtuu = -uk[i] + RES[k, LRES.o["ruu"] + i]
+                dtul = uk[i] + rul[i]
+                dtuu = -uk[i] + ruu[i]
                 dlul = b_ul[i] - sul[i] * dtul
                 dluu = b_uu[i] - suu[i] * dtuu
                 ud.append((dtul, dtuu, dlul, dluu))
@@ -809,21 +900,20 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
 
         def forward_affine():
             """Affine recovery pass: fraction-to-boundary bounds, the mu_aff
-            cross sums S1-S3, and the per-pair dt*dl products (stored in
-            AFFP — the corrector betas need them elementwise)."""
+            cross sums S1-S3, and the affine (dx, du) per stage (stored in
+            AFFP — the corrector betas recompute the dt*dl pair products
+            from them)."""
             def x_part(k, xk, acc):
                 a_pr, a_du, S1, S2, S3 = acc
+                for i in range(nx):
+                    AFFP[k, LAFF.o["ax"] + i] = xk[i]
                 soft, box = x_deltas(k, xk, False, None)
                 a_pr, a_du = x_bounds(k, xk, soft, box, a_pr, a_du)
                 for m, (ds, dth, dlh, dls) in enumerate(soft):
-                    AFFP[k, LAFF.o["ph"] + m] = dth * dlh
-                    AFFP[k, LAFF.o["ps"] + m] = ds * dls
                     S1 = S1 + dth * SLH[k, m] + ds * SLS[k, m]
                     S2 = S2 + STH[k, m] * dlh + SS[k, m] * dls
                     S3 = S3 + dth * dlh + ds * dls
                 for i, (dtxl, dtxu, dlxl, dlxu) in enumerate(box):
-                    AFFP[k, LAFF.o["pxl"] + i] = dtxl * dlxl
-                    AFFP[k, LAFF.o["pxu"] + i] = dtxu * dlxu
                     S1 = S1 + dtxl * SLXL[k, i] + dtxu * SLXU[k, i]
                     S2 = S2 + STXL[k, i] * dlxl + STXU[k, i] * dlxu
                     S3 = S3 + dtxl * dlxl + dtxu * dlxu
@@ -837,8 +927,7 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
                 for i, (dtul, dtuu, dlul, dluu) in enumerate(ud):
                     a_pr = ftb(ftb(a_pr, STUL[k, i], dtul), STUU[k, i], dtuu)
                     a_du = ftb(ftb(a_du, SLUL[k, i], dlul), SLUU[k, i], dluu)
-                    AFFP[k, LAFF.o["pul"] + i] = dtul * dlul
-                    AFFP[k, LAFF.o["puu"] + i] = dtuu * dluu
+                    AFFP[k, LAFF.o["au"] + i] = uk[i]
                     S1 = S1 + dtul * SLUL[k, i] + dtuu * SLUU[k, i]
                     S2 = S2 + STUL[k, i] * dlul + STUU[k, i] * dluu
                     S3 = S3 + dtul * dlul + dtuu * dluu
@@ -888,7 +977,7 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
                     chk = chk + uk[i]
                 xn = roll(k, xk, uk)
                 # costate delta -(P x_{k+1} + p) — probed too
-                Px = _mv(_lm(RIC, k, LR.o["P"], nx, nx), xn)
+                Px = _mv(_lsym(RIC, k, LR.o["P"], nx), xn)
                 pn = _lv(RIC, k, LR.o["pn"], nx)
                 for i in range(nx):
                     chk = chk + Px[i] + pn[i]
@@ -922,7 +1011,7 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
                 soft, box = x_deltas(k, xk, True, mu_t)
                 uk, ud = u_deltas(k, xk, True, mu_t)
                 xn = roll(k, xk, uk)
-                Pk1 = _lm(RIC, k, LR.o["P"], nx, nx)
+                Pk1 = _lsym(RIC, k, LR.o["P"], nx)
                 pn = _lv(RIC, k, LR.o["pn"], nx)
                 Px = _mv(Pk1, xn)
                 x_apply(k, xk, soft, box)
@@ -981,21 +1070,12 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
     jax.lax.fori_loop(0, iters, iteration, 0)
 
     # ================= outputs ============================================
-    def out_x(k, _):
-        for i in range(nx):
-            dx_o[k, i] = SDX[k, i]
-        for m in range(M):
-            s_o[k, m] = SS[k, m]
-        return _
-
-    jax.lax.fori_loop(0, N + 1, out_x, 0)
-
-    def out_u(k, _):
-        for i in range(nu):
-            du_o[k, i] = SDU[k, i]
-        return _
-
-    jax.lax.fori_loop(0, N, out_u, 0)
+    # dx/du/s ARE the state scratch — DMA it straight to the ANY (HBM)
+    # outputs instead of paying double-buffered VMEM output blocks.
+    for src, dst in ((SDXr, dx_o), (SDUr, du_o), (SSr, s_o)):
+        cp = pltpu.make_async_copy(src, dst.at[b], sem_out)
+        cp.start()
+        cp.wait()
 
 
 # ---------------------------------------------------------------------------
@@ -1005,15 +1085,15 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
 @functools.partial(jax.jit, static_argnames=(
     "nx", "nu", "N", "M", "iters", "su", "sb", "tile", "reg", "tau", "tol",
     "stat_tol", "sigma_max", "structure", "interpret"))
-def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
-                        tol, stat_tol, sigma_max,
+def _ip_solve_batchlast(QPX, QPU, DX0, nx, nu, N, M, iters, su, sb, tile,
+                        reg, tau, tol, stat_tol, sigma_max,
                         structure=GENERIC_STRUCTURE, interpret=False):
-    dtype = QPD.dtype
-    Bp = QPD.shape[-1]
+    dtype = QPX.dtype
+    Bp = QPX.shape[-1]
     grid = (Bp // (sb * tile),)
     nbx = len(IDXBX)
     n_pairs = float(2 * N * nu + 2 * (N + 1) * nbx + 2 * (N + 1) * M)
-    LQ, LR, LRES, LAFF = _layouts(nx, nu, M, nbx, structure)
+    LQX, LQU, LR, LRES, LAFF = _layouts(nx, nu, M, nbx, structure)
 
     nt = Bp // (sb * tile)
 
@@ -1049,10 +1129,14 @@ def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
 
     kernel = functools.partial(
         _ip_solve_kernel, nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
-        stat_tol, sigma_max, n_pairs, structure, LQ, LR, LRES, LAFF)
+        stat_tol, sigma_max, n_pairs, structure, LQX, LQU, LR, LRES, LAFF)
 
-    out_specs = (ospec(N + 1, nx), ospec(N, nu), ospec(N + 1, M),
-                 ospec(1, 1), ospec(1, 1))
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [any_spec, any_spec,
+                pl.BlockSpec((1, 1, _pad8(nx * sb), tile),
+                             lambda b: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    out_specs = (any_spec, any_spec, any_spec, ospec(1, 1), ospec(1, 1))
     out_shape = (
         jax.ShapeDtypeStruct((nt, N + 1, _pad8(nx * sb), tile), dtype),
         jax.ShapeDtypeStruct((nt, N, _pad8(nu * sb), tile), dtype),
@@ -1067,16 +1151,18 @@ def _ip_solve_batchlast(QPD, nx, nu, N, M, iters, su, sb, tile, reg, tau,
     ]
     work_scratch = [scr(N, LR.width), scr(N + 1, LRES.width),
                     scr(N + 1, LAFF.width)]
-    dma_scratch = [scr(N + 1, LQ.width), pltpu.SemaphoreType.DMA]
+    dma_scratch = [scr(N + 1, LQX.width), scr(N, LQU.width),
+                   pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+                   pltpu.SemaphoreType.DMA]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=dma_scratch + state_scratch + work_scratch,
         interpret=interpret,
-    )(pack(QPD))
+    )(pack(QPX), pack(QPU), pack(DX0))
     widths = (nx, nu, M, 1, 1)
     return tuple(unpack(a, w) for a, w in zip(outs, widths))
 
@@ -1123,7 +1209,7 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
     budget = 14.5 * 2**20
     if sublane_batch is None:
         sublane_batch = 1
-        for cand in (4, 2):
+        for cand in (8, 4, 2):
             if fused_vmem_bytes(N, M, nx, nu, nbx, tile, cand,
                                 structure=structure) <= budget:
                 sublane_batch = cand
@@ -1156,36 +1242,41 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
 
     st = N + 1
     diag = lambda a: jnp.diagonal(a, axis1=-2, axis2=-1)
-    # field order must match _layouts
-    fields = [prep(diag(qp.Q), nx, st) if structure.q_diag
-              else prep(qp.Q, nx * nx, st),
-              prep(qp.q, nx, st)]
+    # field order must match _layouts: (N+1)-stage cost/constraint array...
+    xfields = [prep(diag(qp.Q), nx, st) if structure.q_diag
+               else prep(qp.Q, nx * nx, st),
+               prep(qp.q, nx, st)]
     if structure.c_cols is not None:
         ncc = len(structure.c_cols)
-        fields.append(prep(qp.C[..., list(structure.c_cols)], M * ncc, st))
+        xfields.append(prep(qp.C[..., list(structure.c_cols)], M * ncc, st))
     else:
-        fields.append(prep(qp.C, M * nx, st))
-    fields += [prep(qp.hval, M, st), prep(qp.zl, M, st)]
+        xfields.append(prep(qp.C, M * nx, st))
+    xfields += [prep(qp.hval, M, st), prep(qp.zl, M, st)]
     if not structure.zl_eq_zl2:
-        fields.append(prep(qp.Zl, M, st))
-    fields += [prep(qp.lb_x, nbx, st), prep(qp.ub_x, nbx, st),
-               prep(qp.dx0[:, None, :], nx, st)]
+        xfields.append(prep(qp.Zl, M, st))
+    xfields += [prep(qp.lb_x, nbx, st), prep(qp.ub_x, nbx, st)]
+    QPX = jnp.concatenate(xfields, axis=1)
+
+    # ... N-stage dynamics/control array ...
     if structure.a_unit_cols:
         kept = [j for j in range(nx) if j not in structure.a_unit_cols]
-        fields.append(prep(qp.A[..., kept], nx * len(kept), st))
+        ufields = [prep(qp.A[..., kept], nx * len(kept), N)]
     else:
-        fields.append(prep(qp.A, nx * nx, st))
-    fields += [prep(qp.B, nx * nu, st), prep(qp.c, nx, st),
-               prep(diag(qp.R), nu, st) if structure.r_diag
-               else prep(qp.R, nu * nu, st)]
+        ufields = [prep(qp.A, nx * nx, N)]
+    ufields += [prep(qp.B, nx * nu, N), prep(qp.c, nx, N),
+                prep(diag(qp.R), nu, N) if structure.r_diag
+                else prep(qp.R, nu * nu, N)]
     if not structure.s_zero:
-        fields.append(prep(qp.S, nu * nx, st))
-    fields += [prep(qp.r, nu, st),
-               prep(qp.lb_u, nu, st), prep(qp.ub_u, nu, st)]
-    QPD = jnp.concatenate(fields, axis=1)
+        ufields.append(prep(qp.S, nu * nx, N))
+    ufields += [prep(qp.r, nu, N),
+                prep(qp.lb_u, nu, N), prep(qp.ub_u, nu, N)]
+    QPU = jnp.concatenate(ufields, axis=1)
+
+    # ... and dx0 as its own single-stage input.
+    DX0 = prep(qp.dx0[:, None, :], nx, 1)
 
     dx, du, s, mu, stat = _ip_solve_batchlast(
-        QPD, nx=nx, nu=nu, N=N, M=M, iters=iters, su=stage_unroll,
+        QPX, QPU, DX0, nx=nx, nu=nu, N=N, M=M, iters=iters, su=stage_unroll,
         sb=sublane_batch, tile=tile, reg=reg,
         tau=tau, tol=tol, stat_tol=stat_tol, sigma_max=sigma_max,
         structure=structure, interpret=interpret)

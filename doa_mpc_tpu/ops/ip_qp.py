@@ -92,6 +92,28 @@ def solve_ocp_qp(qp: OcpQp, iters: int = 50, tau: float = 0.99,
                  sigma_max: float | None = None,
                  sigma_retry: float | None = None,
                  debug: bool = False) -> IpSolution:
+    """Solve OCP QPs (see ``_solve_ocp_qp_impl`` for the algorithm).
+
+    The body runs under ``default_matmul_precision("float32")``: the TPU's
+    default f32 matmul goes through truncated-bf16 passes whose rounding
+    overflows the condensed Riccati on rare hard rows (the round-3 "wedge";
+    captured in tests/fixtures/hard_qps_f32.npz) — CPU f32 solves the same
+    rows fine. Full-f32 matmuls fix every recorded row at a modest cost on
+    this fallback (non-production) backend.
+    """
+    with jax.default_matmul_precision("float32"):
+        return _solve_ocp_qp_impl(
+            qp, iters=iters, tau=tau, reg=reg, tol=tol, normalize=normalize,
+            backend=backend, sigma_max=sigma_max, sigma_retry=sigma_retry,
+            debug=debug)
+
+
+def _solve_ocp_qp_impl(qp: OcpQp, iters: int = 50, tau: float = 0.99,
+                       reg: float | None = None, tol: float | None = None,
+                       normalize: bool = True, backend: str = "xla",
+                       sigma_max: float | None = None,
+                       sigma_retry: float | None = None,
+                       debug: bool = False) -> IpSolution:
     """Solve OCP QPs; ``qp`` leaves may carry one leading batch axis.
 
     ``iters`` plays the role of the reference's QP_ITER

@@ -99,6 +99,7 @@ def init_loop_state(key, ctrl: RtiController, x_init, goal,
     (``sim/compat_rng.mt_experiment_batch``)."""
     spec = ctrl.spec
     kobs, kloop = jax.random.split(key)
+    x_init = jnp.asarray(x_init)        # callers may pass host numpy
     dtype = x_init.dtype
     if obst is None:
         obst = generate_obstacles(kobs, spec, scenario, batch_shape,

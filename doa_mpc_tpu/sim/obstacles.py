@@ -172,6 +172,6 @@ def robot_start_goal(spec, margin: float = 1.0):
     import numpy as np
 
     start = np.array([spec.x_min + margin, spec.y_min + margin,
-                      np.pi / 4, 0.0, 0.0], np.float32)
-    goal = np.array([spec.x_max - margin, spec.y_max - margin], np.float32)
+                      np.pi / 4, 0.0, 0.0])
+    goal = np.array([spec.x_max - margin, spec.y_max - margin])
     return start, goal

@@ -93,6 +93,7 @@ class RtiController:
         """Initial guess per ``set_initial_guess`` (robot_ocp_problem.py:291):
         every stage at x0 with v, omega zeroed; controls zero."""
         n = self.spec.n_solv
+        x0 = jnp.asarray(x0)            # callers may pass host numpy
         xg = x0.at[3:].set(0.0)
         return RtiState(
             x_traj=jnp.tile(xg[None], (n + 1, 1)),

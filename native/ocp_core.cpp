@@ -1,13 +1,17 @@
-// Native CPU OCP core: Riccati LQR solve + RK4/IRK unicycle integrator.
+// Native CPU OCP core: soft-constrained interior-point OCP solver,
+// Riccati LQR solve, and RK4/IRK unicycle integrators.
 //
 // Role: the native runtime tier of the framework, mirroring what the
 // reference reaches through the acados C library (SQP-RTI + HPIPM + IRK,
 // /root/reference/src/simulation/robot_ocp_problem.py:126-136). The TPU
 // compute path is JAX/Pallas; this library serves as
-//   (a) an independent validation oracle for the JAX Riccati/LQR kernels
-//       (tests/test_native.py cross-checks them bit-for-bit-ish), and
-//   (b) a dependency-free single-scenario CPU runtime for deployments
-//       without an accelerator.
+//   (a) an independent f64 validation oracle for the JAX kernels
+//       (tests/test_native.py cross-checks them), and
+//   (b) a dependency-free single-scenario CPU runtime: ocp_ip_solve is the
+//       full production QP — box constraints on states/controls plus the
+//       L1/L2-slacked obstacle constraints (robot_ocp_problem.py:106-122)
+//       — solved by the same Mehrotra predictor-corrector algorithm as
+//       ops/ip_qp.py, so a host-only deployment runs the same controller.
 //
 // Dense, unblocked, column-agnostic (all row-major), no external BLAS: the
 // stage matrices are 5x5/5x2 — loop overhead dwarfs any BLAS gain.
@@ -181,6 +185,578 @@ int ocp_riccati_solve(int N, int nx, int nu, const double* Q, const double* q,
     }
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Soft-constrained interior-point OCP solve (the full production QP).
+//
+// Same problem and algorithm as ops/ip_qp.solve_ocp_qp (Mehrotra
+// predictor-corrector with HPIPM-style stage-wise elimination of the
+// slacked obstacle constraints), f64, single scenario, early exit on
+// convergence. Layouts row-major, stage-major:
+//   A N*nx*nx, B N*nx*nu, c N*nx, dx0 nx,
+//   Q (N+1)*nx*nx, q (N+1)*nx, R N*nu*nu, r N*nu, S N*nu*nx,
+//   lb_u/ub_u N*nu, lb_x/ub_x (N+1)*nbx (selection rows idxbx),
+//   C (N+1)*M*nx, hval (N+1)*M, zl/Zl (N+1)*M.
+// Outputs: dx (N+1)*nx, du N*nu, s (N+1)*M, plus the final duality measure
+// and stationarity residual. Returns the iteration count used, or -1 on a
+// non-finite direction (iterate kept at its last finite state).
+int ocp_ip_solve(int N, int nx, int nu, int M, int nbx, const int* idxbx,
+                 const double* A, const double* B, const double* c,
+                 const double* dx0,
+                 const double* Q, const double* q, const double* R,
+                 const double* r, const double* S,
+                 const double* lb_u, const double* ub_u,
+                 const double* lb_x, const double* ub_x,
+                 const double* C, const double* hval,
+                 const double* zl, const double* Zl_in,
+                 int iters, double tau, double reg, double tol,
+                 double stat_tol, double sigma_max,
+                 double* dx_out, double* du_out, double* s_out,
+                 double* mu_out, double* stat_out) {
+  const double T_FLOOR = 1e-12, ZL_FLOOR = 1e-6, TINY = 1e-30;
+  const double t_min = 0.1, mu0 = 1.0;
+  const int st = N + 1;
+  const double n_pairs = 2.0 * N * nu + 2.0 * st * nbx + 2.0 * st * M;
+
+  std::vector<double> dx(st * nx), du(N * nu, 0.0), s(st * M),
+      nu_d(N * nx, 0.0);
+  std::vector<double> t_ul(N * nu), l_ul(N * nu), t_uu(N * nu), l_uu(N * nu),
+      t_xl(st * nbx), l_xl(st * nbx), t_xu(st * nbx), l_xu(st * nbx),
+      t_h(st * M), l_h(st * M), l_s(st * M);
+  std::vector<double> Zl(st * M);
+  for (int i = 0; i < st * M; ++i) Zl[i] = std::max(Zl_in[i], ZL_FLOOR);
+
+  // ---- initialization (matches solve_ocp_qp) -----------------------------
+  std::memcpy(dx.data(), dx0, sizeof(double) * nx);
+  for (int k = 0; k < N; ++k) {
+    for (int i = 0; i < nx; ++i) {
+      double v = c[k * nx + i];
+      for (int j = 0; j < nx; ++j)
+        v += A[k * nx * nx + i * nx + j] * dx[k * nx + j];
+      dx[(k + 1) * nx + i] = v;
+    }
+  }
+  for (int k = 0; k < st; ++k) {
+    for (int m = 0; m < M; ++m) {
+      double g = hval[k * M + m];
+      for (int j = 0; j < nx; ++j)
+        g += C[(k * M + m) * nx + j] * dx[k * nx + j];
+      double s0 = std::max(t_min, t_min - g);
+      s[k * M + m] = s0;
+      double th = std::max(g + s0, t_min);
+      t_h[k * M + m] = th;
+      l_h[k * M + m] = mu0 / th;
+      l_s[k * M + m] = mu0 / s0;
+    }
+    for (int i = 0; i < nbx; ++i) {
+      double xv = dx[k * nx + idxbx[i]];
+      double t = std::max(xv - lb_x[k * nbx + i], t_min);
+      t_xl[k * nbx + i] = t;
+      l_xl[k * nbx + i] = mu0 / t;
+      t = std::max(ub_x[k * nbx + i] - xv, t_min);
+      t_xu[k * nbx + i] = t;
+      l_xu[k * nbx + i] = mu0 / t;
+    }
+  }
+  for (int k = 0; k < N; ++k)
+    for (int i = 0; i < nu; ++i) {
+      double t = std::max(-lb_u[k * nu + i], t_min);
+      t_ul[k * nu + i] = t;
+      l_ul[k * nu + i] = mu0 / t;
+      t = std::max(ub_u[k * nu + i], t_min);
+      t_uu[k * nu + i] = t;
+      l_uu[k * nu + i] = mu0 / t;
+    }
+
+  // work arrays
+  std::vector<double> r_ul(N * nu), r_uu(N * nu), r_xl(st * nbx),
+      r_xu(st * nbx), r_h(st * M), r_s(st * M), r_dyn(N * nx),
+      r_x(st * nx), r_u(N * nu);
+  std::vector<double> s_ul(N * nu), s_uu(N * nu), s_xl(st * nbx),
+      s_xu(st * nbx), s_h(st * M), s_s(st * M), zeta(st * M),
+      s_eff(st * M);
+  std::vector<double> Qbar(st * nx * nx), Rbar(N * nu * nu);
+  std::vector<double> P(st * nx * nx), K(N * nu * nx),
+      Hchol(N * nu * nu);
+  std::vector<double> qbar(st * nx), rbar(N * nu), d_rhs(N * nx);
+  std::vector<double> Ddx(st * nx), Ddu(N * nu), Dnu(N * nx);
+  // pair deltas (affine pass also stores the dt*dl products for corrector)
+  std::vector<double> A_ul(N * nu), A_uu(N * nu), A_xl(st * nbx),
+      A_xu(st * nbx), A_h(st * M), A_s2(st * M);  // dt_aff*dl_aff products
+  std::vector<double> Dt_ul(N * nu), Dl_ul(N * nu), Dt_uu(N * nu),
+      Dl_uu(N * nu), Dt_xl(st * nbx), Dl_xl(st * nbx), Dt_xu(st * nbx),
+      Dl_xu(st * nbx), Dt_h(st * M), Dl_h(st * M), Dl_s(st * M),
+      Ds(st * M);
+
+  double mu = 0.0, stat = 0.0;
+  int used = 0;
+
+  auto sig = [&](double l, double t) {
+    double v = l / std::max(t, T_FLOOR);
+    return std::min(std::max(v, 0.0), sigma_max);
+  };
+
+  // factorize P/K/chol(Huu) for the current Qbar/Rbar
+  auto factorize = [&]() -> bool {
+    std::memcpy(&P[N * nx * nx], &Qbar[N * nx * nx],
+                sizeof(double) * nx * nx);
+    std::vector<double> PB(nx * nu), PA(nx * nx), Huu(nu * nu),
+        Hux(nu * nx), col(nu), rhs(nu);
+    for (int k = N - 1; k >= 0; --k) {
+      const double* Pk1 = &P[(k + 1) * nx * nx];
+      const double* Ak = &A[k * nx * nx];
+      const double* Bk = &B[k * nx * nu];
+      a_b(nx, nx, nu, Pk1, Bk, PB.data());
+      a_b(nx, nx, nx, Pk1, Ak, PA.data());
+      at_b(nx, nu, nu, Bk, PB.data(), Huu.data());
+      for (int i = 0; i < nu * nu; ++i) Huu[i] += Rbar[k * nu * nu + i];
+      at_b(nx, nu, nx, Bk, PA.data(), Hux.data());
+      for (int i = 0; i < nu * nx; ++i) Hux[i] += S[k * nu * nx + i];
+      // Cholesky of Huu + reg
+      double* L = &Hchol[k * nu * nu];
+      for (int i = 0; i < nu * nu; ++i) L[i] = 0.0;
+      for (int i = 0; i < nu; ++i)
+        for (int j = 0; j <= i; ++j) {
+          double acc = Huu[i * nu + j];
+          for (int l2 = 0; l2 < j; ++l2)
+            acc -= L[i * nu + l2] * L[j * nu + l2];
+          if (i == j) {
+            acc += reg;
+            if (acc <= 0.0) return false;
+            L[i * nu + i] = std::sqrt(acc);
+          } else {
+            L[i * nu + j] = acc / L[j * nu + j];
+          }
+        }
+      auto chol_solve_u = [&](const double* b2, double* x2) {
+        std::vector<double> y(nu);
+        for (int i = 0; i < nu; ++i) {
+          double acc = b2[i];
+          for (int l2 = 0; l2 < i; ++l2) acc -= L[i * nu + l2] * y[l2];
+          y[i] = acc / L[i * nu + i];
+        }
+        for (int i = nu - 1; i >= 0; --i) {
+          double acc = y[i];
+          for (int l2 = i + 1; l2 < nu; ++l2)
+            acc -= L[l2 * nu + i] * x2[l2];
+          x2[i] = acc / L[i * nu + i];
+        }
+      };
+      for (int j = 0; j < nx; ++j) {
+        for (int i = 0; i < nu; ++i) rhs[i] = Hux[i * nx + j];
+        chol_solve_u(rhs.data(), col.data());
+        for (int i = 0; i < nu; ++i) K[k * nu * nx + i * nx + j] = -col[i];
+      }
+      double* Pk = &P[k * nx * nx];
+      at_b(nx, nx, nx, Ak, PA.data(), Pk);
+      for (int i = 0; i < nx; ++i)
+        for (int j = 0; j < nx; ++j) {
+          double acc = Qbar[k * nx * nx + i * nx + j];
+          for (int l2 = 0; l2 < nu; ++l2)
+            acc += Hux[l2 * nx + i] * K[k * nu * nx + l2 * nx + j];
+          Pk[i * nx + j] += acc;
+        }
+      for (int i = 0; i < nx; ++i)
+        for (int j = i + 1; j < nx; ++j) {
+          double m2 = 0.5 * (Pk[i * nx + j] + Pk[j * nx + i]);
+          Pk[i * nx + j] = m2;
+          Pk[j * nx + i] = m2;
+        }
+    }
+    return true;
+  };
+
+  // back-substitute one RHS: qbar/rbar/d_rhs -> Ddx (x0 = 0), Ddu, Dnu
+  auto kkt_solve = [&]() {
+    std::vector<double> p(st * nx), kff(N * nu), Pd_p(nx), m(nu), col(nu);
+    std::memcpy(&p[N * nx], &qbar[N * nx], sizeof(double) * nx);
+    for (int k = N - 1; k >= 0; --k) {
+      const double* Pk1 = &P[(k + 1) * nx * nx];
+      a_x(nx, nx, Pk1, &d_rhs[k * nx], Pd_p.data());
+      for (int i = 0; i < nx; ++i) Pd_p[i] += p[(k + 1) * nx + i];
+      at_b(nx, nu, 1, &B[k * nx * nu], Pd_p.data(), m.data());
+      for (int i = 0; i < nu; ++i) m[i] += rbar[k * nu + i];
+      const double* L = &Hchol[k * nu * nu];
+      std::vector<double> y(nu);
+      for (int i = 0; i < nu; ++i) {
+        double acc = m[i];
+        for (int l2 = 0; l2 < i; ++l2) acc -= L[i * nu + l2] * y[l2];
+        y[i] = acc / L[i * nu + i];
+      }
+      for (int i = nu - 1; i >= 0; --i) {
+        double acc = y[i];
+        for (int l2 = i + 1; l2 < nu; ++l2) acc -= L[l2 * nu + i] * col[l2];
+        col[i] = acc / L[i * nu + i];
+      }
+      for (int i = 0; i < nu; ++i) kff[k * nu + i] = -col[i];
+      double* pk = &p[k * nx];
+      at_b(nx, nx, 1, &A[k * nx * nx], Pd_p.data(), pk);
+      for (int i = 0; i < nx; ++i) {
+        double acc = qbar[k * nx + i];
+        for (int l2 = 0; l2 < nu; ++l2)
+          acc += K[k * nu * nx + l2 * nx + i] * m[l2];
+        pk[i] += acc;
+      }
+    }
+    for (int i = 0; i < nx; ++i) Ddx[i] = 0.0;
+    for (int k = 0; k < N; ++k) {
+      for (int i = 0; i < nu; ++i) {
+        double acc = kff[k * nu + i];
+        for (int j = 0; j < nx; ++j)
+          acc += K[k * nu * nx + i * nx + j] * Ddx[k * nx + j];
+        Ddu[k * nu + i] = acc;
+      }
+      for (int i = 0; i < nx; ++i) {
+        double acc = d_rhs[k * nx + i];
+        for (int j = 0; j < nx; ++j)
+          acc += A[k * nx * nx + i * nx + j] * Ddx[k * nx + j];
+        for (int j = 0; j < nu; ++j)
+          acc += B[k * nx * nu + i * nu + j] * Ddu[k * nu + j];
+        Ddx[(k + 1) * nx + i] = acc;
+      }
+      // nu_k = -(P_{k+1} x_{k+1} + p_{k+1})
+      for (int i = 0; i < nx; ++i) {
+        double acc = p[(k + 1) * nx + i];
+        for (int j = 0; j < nx; ++j)
+          acc += P[(k + 1) * nx * nx + i * nx + j] * Ddx[(k + 1) * nx + j];
+        Dnu[k * nx + i] = -acc;
+      }
+    }
+  };
+
+  // one full direction from betas -> all pair deltas (in the D* arrays)
+  auto directions = [&](const std::vector<double>& b_ul,
+                        const std::vector<double>& b_uu,
+                        const std::vector<double>& b_xl,
+                        const std::vector<double>& b_xu,
+                        const std::vector<double>& b_h,
+                        const std::vector<double>& b_s) {
+    for (int k = 0; k < st; ++k) {
+      std::vector<double> bh_hat(M);
+      for (int m2 = 0; m2 < M; ++m2) {
+        int id = k * M + m2;
+        double rho = -r_s[id] + b_h[id] + b_s[id] - s_h[id] * r_h[id];
+        bh_hat[m2] = b_h[id] - s_h[id] * r_h[id] - s_h[id] * rho / zeta[id];
+      }
+      for (int i = 0; i < nx; ++i) {
+        double acc = r_x[k * nx + i];
+        for (int m2 = 0; m2 < M; ++m2)
+          acc -= C[(k * M + m2) * nx + i] * bh_hat[m2];
+        qbar[k * nx + i] = acc;
+      }
+      for (int i = 0; i < nbx; ++i) {
+        int id = k * nbx + i;
+        qbar[k * nx + idxbx[i]] +=
+            -(b_xl[id] - s_xl[id] * r_xl[id])
+            + (b_xu[id] - s_xu[id] * r_xu[id]);
+      }
+    }
+    for (int k = 0; k < N; ++k)
+      for (int i = 0; i < nu; ++i) {
+        int id = k * nu + i;
+        rbar[id] = r_u[id] - (b_ul[id] - s_ul[id] * r_ul[id])
+                   + (b_uu[id] - s_uu[id] * r_uu[id]);
+      }
+    for (int i = 0; i < N * nx; ++i) d_rhs[i] = -r_dyn[i];
+    kkt_solve();
+    for (int k = 0; k < st; ++k) {
+      for (int m2 = 0; m2 < M; ++m2) {
+        int id = k * M + m2;
+        double CD = 0.0;
+        for (int j = 0; j < nx; ++j)
+          CD += C[(k * M + m2) * nx + j] * Ddx[k * nx + j];
+        double rho = -r_s[id] + b_h[id] + b_s[id] - s_h[id] * r_h[id];
+        double ds = (rho - s_h[id] * CD) / zeta[id];
+        double dth = CD + ds + r_h[id];
+        Ds[id] = ds;
+        Dt_h[id] = dth;
+        Dl_h[id] = b_h[id] - s_h[id] * dth;
+        Dl_s[id] = b_s[id] - s_s[id] * ds;
+      }
+      for (int i = 0; i < nbx; ++i) {
+        int id = k * nbx + i;
+        double dxv = Ddx[k * nx + idxbx[i]];
+        Dt_xl[id] = dxv + r_xl[id];
+        Dt_xu[id] = -dxv + r_xu[id];
+        Dl_xl[id] = b_xl[id] - s_xl[id] * Dt_xl[id];
+        Dl_xu[id] = b_xu[id] - s_xu[id] * Dt_xu[id];
+      }
+    }
+    for (int k = 0; k < N; ++k)
+      for (int i = 0; i < nu; ++i) {
+        int id = k * nu + i;
+        Dt_ul[id] = Ddu[id] + r_ul[id];
+        Dt_uu[id] = -Ddu[id] + r_uu[id];
+        Dl_ul[id] = b_ul[id] - s_ul[id] * Dt_ul[id];
+        Dl_uu[id] = b_uu[id] - s_uu[id] * Dt_uu[id];
+      }
+  };
+
+  auto max_step = [&](const double* v, const double* dv, int n,
+                      double lim) {
+    double a = lim;
+    for (int i = 0; i < n; ++i)
+      if (dv[i] < 0.0) a = std::min(a, -v[i] / dv[i]);
+    return a;
+  };
+
+  for (int it = 0; it < iters; ++it) {
+    used = it + 1;
+    // ---- residuals -------------------------------------------------------
+    mu = 0.0;
+    for (int k = 0; k < N; ++k)
+      for (int i = 0; i < nu; ++i) {
+        int id = k * nu + i;
+        r_ul[id] = (du[id] - lb_u[id]) - t_ul[id];
+        r_uu[id] = (ub_u[id] - du[id]) - t_uu[id];
+        mu += t_ul[id] * l_ul[id] + t_uu[id] * l_uu[id];
+      }
+    for (int k = 0; k < st; ++k) {
+      for (int i = 0; i < nbx; ++i) {
+        int id = k * nbx + i;
+        double xv = dx[k * nx + idxbx[i]];
+        r_xl[id] = (xv - lb_x[id]) - t_xl[id];
+        r_xu[id] = (ub_x[id] - xv) - t_xu[id];
+        mu += t_xl[id] * l_xl[id] + t_xu[id] * l_xu[id];
+      }
+      for (int m2 = 0; m2 < M; ++m2) {
+        int id = k * M + m2;
+        double g = hval[id];
+        for (int j = 0; j < nx; ++j)
+          g += C[id * nx + j] * dx[k * nx + j];
+        r_h[id] = (g + s[id]) - t_h[id];
+        r_s[id] = Zl[id] * s[id] + zl[id] - l_h[id] - l_s[id];
+        mu += t_h[id] * l_h[id] + s[id] * l_s[id];
+      }
+    }
+    mu /= n_pairs;
+    for (int k = 0; k < N; ++k)
+      for (int i = 0; i < nx; ++i) {
+        double acc = dx[(k + 1) * nx + i] - c[k * nx + i];
+        for (int j = 0; j < nx; ++j)
+          acc -= A[k * nx * nx + i * nx + j] * dx[k * nx + j];
+        for (int j = 0; j < nu; ++j)
+          acc -= B[k * nx * nu + i * nu + j] * du[k * nu + j];
+        r_dyn[k * nx + i] = acc;
+      }
+    stat = 0.0;
+    for (int k = 0; k < st; ++k)
+      for (int i = 0; i < nx; ++i) {
+        double acc = q[k * nx + i];
+        for (int j = 0; j < nx; ++j)
+          acc += Q[k * nx * nx + i * nx + j] * dx[k * nx + j];
+        if (k < N) {
+          for (int l2 = 0; l2 < nu; ++l2)
+            acc += S[k * nu * nx + l2 * nx + i] * du[k * nu + l2];
+          for (int j = 0; j < nx; ++j)
+            acc -= A[k * nx * nx + j * nx + i] * nu_d[k * nx + j];
+        }
+        if (k > 0) acc += nu_d[(k - 1) * nx + i];
+        for (int i2 = 0; i2 < nbx; ++i2)
+          if (idxbx[i2] == i)
+            acc -= l_xl[k * nbx + i2] - l_xu[k * nbx + i2];
+        for (int m2 = 0; m2 < M; ++m2)
+          acc -= C[(k * M + m2) * nx + i] * l_h[k * M + m2];
+        r_x[k * nx + i] = acc;
+        if (k > 0) stat = std::max(stat, std::fabs(acc));
+      }
+    for (int k = 0; k < N; ++k)
+      for (int i = 0; i < nu; ++i) {
+        double acc = r[k * nu + i];
+        for (int j = 0; j < nu; ++j)
+          acc += R[k * nu * nu + i * nu + j] * du[k * nu + j];
+        for (int j = 0; j < nx; ++j)
+          acc += S[k * nu * nx + i * nx + j] * dx[k * nx + j];
+        for (int j = 0; j < nx; ++j)
+          acc -= B[k * nx * nu + j * nu + i] * nu_d[k * nx + j];
+        acc -= l_ul[k * nu + i] - l_uu[k * nu + i];
+        r_u[k * nu + i] = acc;
+        stat = std::max(stat, std::fabs(acc));
+      }
+    if (mu < tol && stat < stat_tol) break;
+
+    // ---- sigmas + condensed Hessians ------------------------------------
+    for (int i = 0; i < N * nu; ++i) {
+      s_ul[i] = sig(l_ul[i], t_ul[i]);
+      s_uu[i] = sig(l_uu[i], t_uu[i]);
+    }
+    for (int i = 0; i < st * nbx; ++i) {
+      s_xl[i] = sig(l_xl[i], t_xl[i]);
+      s_xu[i] = sig(l_xu[i], t_xu[i]);
+    }
+    for (int i = 0; i < st * M; ++i) {
+      s_h[i] = sig(l_h[i], t_h[i]);
+      s_s[i] = sig(l_s[i], s[i]);
+      zeta[i] = Zl[i] + s_h[i] + s_s[i];
+      s_eff[i] = s_h[i] * (Zl[i] + s_s[i]) / zeta[i];
+    }
+    for (int k = 0; k < st; ++k) {
+      double* Qb = &Qbar[k * nx * nx];
+      std::memcpy(Qb, &Q[k * nx * nx], sizeof(double) * nx * nx);
+      for (int i = 0; i < nbx; ++i)
+        Qb[idxbx[i] * nx + idxbx[i]] +=
+            s_xl[k * nbx + i] + s_xu[k * nbx + i];
+      for (int i = 0; i < nx; ++i)
+        for (int j = 0; j < nx; ++j) {
+          double acc = 0.0;
+          for (int m2 = 0; m2 < M; ++m2)
+            acc += C[(k * M + m2) * nx + i] * s_eff[k * M + m2]
+                   * C[(k * M + m2) * nx + j];
+          Qb[i * nx + j] += acc;
+        }
+    }
+    for (int k = 0; k < N; ++k) {
+      double* Rb = &Rbar[k * nu * nu];
+      std::memcpy(Rb, &R[k * nu * nu], sizeof(double) * nu * nu);
+      for (int i = 0; i < nu; ++i)
+        Rb[i * nu + i] += s_ul[k * nu + i] + s_uu[k * nu + i];
+    }
+    if (!factorize()) return -1;
+
+    // ---- predictor (affine scaling) -------------------------------------
+    std::vector<double> b_ul(N * nu), b_uu(N * nu), b_xl(st * nbx),
+        b_xu(st * nbx), b_h(st * M), b_s(st * M);
+    for (int i = 0; i < N * nu; ++i) {
+      b_ul[i] = -l_ul[i];
+      b_uu[i] = -l_uu[i];
+    }
+    for (int i = 0; i < st * nbx; ++i) {
+      b_xl[i] = -l_xl[i];
+      b_xu[i] = -l_xu[i];
+    }
+    for (int i = 0; i < st * M; ++i) {
+      b_h[i] = -l_h[i];
+      b_s[i] = -l_s[i];
+    }
+    directions(b_ul, b_uu, b_xl, b_xu, b_h, b_s);
+    double ap = 1.0, ad = 1.0;
+    ap = std::min(ap, max_step(t_ul.data(), Dt_ul.data(), N * nu, 1.0));
+    ap = std::min(ap, max_step(t_uu.data(), Dt_uu.data(), N * nu, 1.0));
+    ap = std::min(ap, max_step(t_xl.data(), Dt_xl.data(), st * nbx, 1.0));
+    ap = std::min(ap, max_step(t_xu.data(), Dt_xu.data(), st * nbx, 1.0));
+    ap = std::min(ap, max_step(t_h.data(), Dt_h.data(), st * M, 1.0));
+    ap = std::min(ap, max_step(s.data(), Ds.data(), st * M, 1.0));
+    ad = std::min(ad, max_step(l_ul.data(), Dl_ul.data(), N * nu, 1.0));
+    ad = std::min(ad, max_step(l_uu.data(), Dl_uu.data(), N * nu, 1.0));
+    ad = std::min(ad, max_step(l_xl.data(), Dl_xl.data(), st * nbx, 1.0));
+    ad = std::min(ad, max_step(l_xu.data(), Dl_xu.data(), st * nbx, 1.0));
+    ad = std::min(ad, max_step(l_h.data(), Dl_h.data(), st * M, 1.0));
+    ad = std::min(ad, max_step(l_s.data(), Dl_s.data(), st * M, 1.0));
+    double mu_aff = 0.0;
+    auto compl_after = [&](const double* t, const double* dt,
+                           const double* l, const double* dl, int n) {
+      for (int i = 0; i < n; ++i)
+        mu_aff += (t[i] + ap * dt[i]) * (l[i] + ad * dl[i]);
+    };
+    compl_after(t_ul.data(), Dt_ul.data(), l_ul.data(), Dl_ul.data(), N * nu);
+    compl_after(t_uu.data(), Dt_uu.data(), l_uu.data(), Dl_uu.data(), N * nu);
+    compl_after(t_xl.data(), Dt_xl.data(), l_xl.data(), Dl_xl.data(),
+                st * nbx);
+    compl_after(t_xu.data(), Dt_xu.data(), l_xu.data(), Dl_xu.data(),
+                st * nbx);
+    compl_after(t_h.data(), Dt_h.data(), l_h.data(), Dl_h.data(), st * M);
+    compl_after(s.data(), Ds.data(), l_s.data(), Dl_s.data(), st * M);
+    mu_aff /= n_pairs;
+    double sg = mu_aff / std::max(mu, T_FLOOR);
+    double sig_c = std::min(std::max(sg * sg * sg, 0.0), 1.0);
+    double mu_t = sig_c * mu;
+
+    // affine products for the corrector betas
+    for (int i = 0; i < N * nu; ++i) {
+      A_ul[i] = Dt_ul[i] * Dl_ul[i];
+      A_uu[i] = Dt_uu[i] * Dl_uu[i];
+    }
+    for (int i = 0; i < st * nbx; ++i) {
+      A_xl[i] = Dt_xl[i] * Dl_xl[i];
+      A_xu[i] = Dt_xu[i] * Dl_xu[i];
+    }
+    for (int i = 0; i < st * M; ++i) {
+      A_h[i] = Dt_h[i] * Dl_h[i];
+      A_s2[i] = Ds[i] * Dl_s[i];
+    }
+
+    // ---- corrector -------------------------------------------------------
+    auto beta_c = [&](double t, double l, double prod) {
+      return (mu_t - t * l - prod) / std::max(t, T_FLOOR);
+    };
+    for (int i = 0; i < N * nu; ++i) {
+      b_ul[i] = beta_c(t_ul[i], l_ul[i], A_ul[i]);
+      b_uu[i] = beta_c(t_uu[i], l_uu[i], A_uu[i]);
+    }
+    for (int i = 0; i < st * nbx; ++i) {
+      b_xl[i] = beta_c(t_xl[i], l_xl[i], A_xl[i]);
+      b_xu[i] = beta_c(t_xu[i], l_xu[i], A_xu[i]);
+    }
+    for (int i = 0; i < st * M; ++i) {
+      b_h[i] = beta_c(t_h[i], l_h[i], A_h[i]);
+      b_s[i] = beta_c(s[i], l_s[i], A_s2[i]);
+    }
+    directions(b_ul, b_uu, b_xl, b_xu, b_h, b_s);
+    double a_p = std::min(1.0, tau * max_step(t_ul.data(), Dt_ul.data(),
+                                              N * nu, 2.0));
+    a_p = std::min(a_p, tau * max_step(t_uu.data(), Dt_uu.data(), N * nu,
+                                       2.0));
+    a_p = std::min(a_p, tau * max_step(t_xl.data(), Dt_xl.data(), st * nbx,
+                                       2.0));
+    a_p = std::min(a_p, tau * max_step(t_xu.data(), Dt_xu.data(), st * nbx,
+                                       2.0));
+    a_p = std::min(a_p, tau * max_step(t_h.data(), Dt_h.data(), st * M,
+                                       2.0));
+    a_p = std::min(a_p, tau * max_step(s.data(), Ds.data(), st * M, 2.0));
+    a_p = std::min(a_p, 1.0);
+    double a_d = std::min(1.0, tau * max_step(l_ul.data(), Dl_ul.data(),
+                                              N * nu, 2.0));
+    a_d = std::min(a_d, tau * max_step(l_uu.data(), Dl_uu.data(), N * nu,
+                                       2.0));
+    a_d = std::min(a_d, tau * max_step(l_xl.data(), Dl_xl.data(), st * nbx,
+                                       2.0));
+    a_d = std::min(a_d, tau * max_step(l_xu.data(), Dl_xu.data(), st * nbx,
+                                       2.0));
+    a_d = std::min(a_d, tau * max_step(l_h.data(), Dl_h.data(), st * M,
+                                       2.0));
+    a_d = std::min(a_d, tau * max_step(l_s.data(), Dl_s.data(), st * M,
+                                       2.0));
+    a_d = std::min(a_d, 1.0);
+
+    // non-finite guard: keep the last finite iterate and bail
+    bool finite = std::isfinite(a_p) && std::isfinite(a_d);
+    for (int i = 0; finite && i < st * nx; ++i)
+      finite = std::isfinite(Ddx[i]);
+    for (int i = 0; finite && i < N * nu; ++i)
+      finite = std::isfinite(Ddu[i]);
+    if (!finite) {
+      used = -1;
+      break;
+    }
+
+    // ---- update ----------------------------------------------------------
+    auto upd_pos = [&](double* v, const double* dv, int n, double a) {
+      for (int i = 0; i < n; ++i) v[i] = std::max(v[i] + a * dv[i], TINY);
+    };
+    for (int i = 0; i < st * nx; ++i) dx[i] += a_p * Ddx[i];
+    for (int i = 0; i < N * nu; ++i) du[i] += a_p * Ddu[i];
+    for (int i = 0; i < N * nx; ++i) nu_d[i] += a_d * Dnu[i];
+    upd_pos(s.data(), Ds.data(), st * M, a_p);
+    upd_pos(t_ul.data(), Dt_ul.data(), N * nu, a_p);
+    upd_pos(t_uu.data(), Dt_uu.data(), N * nu, a_p);
+    upd_pos(t_xl.data(), Dt_xl.data(), st * nbx, a_p);
+    upd_pos(t_xu.data(), Dt_xu.data(), st * nbx, a_p);
+    upd_pos(t_h.data(), Dt_h.data(), st * M, a_p);
+    upd_pos(l_ul.data(), Dl_ul.data(), N * nu, a_d);
+    upd_pos(l_uu.data(), Dl_uu.data(), N * nu, a_d);
+    upd_pos(l_xl.data(), Dl_xl.data(), st * nbx, a_d);
+    upd_pos(l_xu.data(), Dl_xu.data(), st * nbx, a_d);
+    upd_pos(l_h.data(), Dl_h.data(), st * M, a_d);
+    upd_pos(l_s.data(), Dl_s.data(), st * M, a_d);
+  }
+
+  std::memcpy(dx_out, dx.data(), sizeof(double) * st * nx);
+  std::memcpy(du_out, du.data(), sizeof(double) * N * nu);
+  std::memcpy(s_out, s.data(), sizeof(double) * st * M);
+  *mu_out = mu;
+  *stat_out = stat;
+  return used;
 }
 
 // Unicycle dynamics f(s, u) (robot_model.py:39-43)

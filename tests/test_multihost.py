@@ -86,3 +86,45 @@ def test_host0_only_io(jobs):
     csv1, csv2, outs2 = jobs
     assert os.path.exists(csv2)
     assert sum("host0 wrote" in o for o in outs2) == 1
+
+
+def test_cli_distributed_two_processes(tmp_path):
+    """The production CLI path: 2 processes run
+    ``python -m doa_mpc_tpu experiment --distributed`` against one
+    coordinator; host 0 alone writes the artifacts and prints the summary."""
+    port = _free_port()
+    out_dir = str(tmp_path / "cli_out")
+    procs, outs = [], []
+    for pid in range(2):
+        env = _clean_env()
+        env.update({
+            "DOA_MPC_PLATFORM": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "doa_mpc_tpu", "experiment",
+             "--distributed", "--backend", "xla", "--runs", "16",
+             "--max-iter", "6", "--tf", "0.5", "--n-solv", "5",
+             "--n-obst", "3", "--qp-iter", "4",
+             "--scenarios", "RANDOM", "--out", out_dir],
+            env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"CLI worker failed:\n{out}"
+    csvs = [f for f in os.listdir(out_dir) if f.endswith(".csv")]
+    assert len(csvs) == 1, csvs
+    data = np.loadtxt(os.path.join(out_dir, csvs[0]), delimiter=";")
+    assert data.shape == (16, 6)
+    # host-0-only verbosity: exactly one process printed the summary line
+    assert sum("collision=" in o for o in outs) == 1
