@@ -38,6 +38,14 @@ def main():
     p.add_argument("--n-solv", type=int, default=10)
     p.add_argument("--out", default=None,
                    help="write the report rows as a JSON artifact")
+    p.add_argument("--strong", action="store_true",
+                   help="strong scaling: keep the TOTAL batch fixed at "
+                        "--batch and split it across devices. With "
+                        "devices <= physical cores this isolates the SPMD "
+                        "program's own overhead (sharding + collectives) "
+                        "from host-core contention — the weak-scaling "
+                        "efficiencies beyond the core count only measure "
+                        "contention on a virtual CPU mesh.")
     args = p.parse_args()
 
     from doa_mpc_tpu.config import SolverOptions, WorldSpec, default_cost_params
@@ -60,7 +68,8 @@ def main():
     for n_dev in args.devices:
         if n_dev > len(jax.devices()):
             continue
-        B = args.batch * n_dev           # weak scaling: fixed work per device
+        # weak scaling: fixed work per device; strong: fixed total work
+        B = args.batch if args.strong else args.batch * n_dev
         st = init_loop_state(jax.random.PRNGKey(0), ctrl, start, goal,
                              "RANDOM", batch_shape=(B,))
         mesh = make_data_mesh(jax.devices()[:n_dev])
@@ -70,19 +79,27 @@ def main():
         fn = jax.jit(make_sharded_rollout(rollout, mesh))
         final, stats = fn(st)
         float(stats["n"])                # force
-        t0 = time.perf_counter()
-        final, stats = fn(st)
-        float(stats["n"])
-        dt = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            final, stats = fn(st)
+            float(stats["n"])
+            best = min(best, time.perf_counter() - t0)
         solves = B * args.ticks
-        results[n_dev] = solves / dt
+        results[n_dev] = solves / best
         d0 = min(results)
-        per_dev0 = results[d0] / d0
-        eff = (results[n_dev] / n_dev) / per_dev0
+        if args.strong:
+            # speedup vs the 1-device run of the SAME total work
+            eff = (results[n_dev] / results[d0]) * (d0 / n_dev)
+            key = "strong_scaling_efficiency"
+        else:
+            per_dev0 = results[d0] / d0
+            eff = (results[n_dev] / n_dev) / per_dev0
+            key = "weak_scaling_efficiency"
         row = {
             "devices": n_dev, "batch": B,
             "solves_per_s": round(results[n_dev], 1),
-            "weak_scaling_efficiency": round(eff, 3),
+            key: round(eff, 3),
         }
         rows.append(row)
         print(json.dumps(row))
@@ -96,7 +113,8 @@ def main():
                 "n_devices_avail": len(jax.devices()),
                 "host_cores": os.cpu_count(),
                 "ticks": args.ticks, "qp_iter": args.qp_iter,
-                "n_solv": args.n_solv, "mode": "weak-scaling",
+                "n_solv": args.n_solv,
+                "mode": "strong-scaling" if args.strong else "weak-scaling",
                 "note": (f"virtual CPU devices share {os.cpu_count()} "
                          "physical host cores, which caps aggregate "
                          "throughput; efficiency beyond that core count "
