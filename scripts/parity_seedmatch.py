@@ -49,6 +49,19 @@ def main():
     ap.add_argument("--qp-iter-override", type=int, default=None,
                     help="run the cell with this IP iteration budget "
                          "instead of the bundled QP_ITER (accuracy probe)")
+    ap.add_argument("--no-status4", action="store_true",
+                    help="disable the status-4 reset analogue. REQUIRED "
+                         "when overriding qp_iter far below the bundled "
+                         "cell's budget: the analogue's fail criterion is "
+                         "'not converged to (fail_mu, fail_stat)', which "
+                         "at qp_iter=6 fires every tick (constant warm-"
+                         "start resets + compat plant braking) and is NOT "
+                         "what the reference's QP_ITER=50+ HPIPM did")
+    ap.add_argument("--slack-mult", type=float, default=None,
+                    help="multiply the slack penalty scale (diagnostic for "
+                         "the acados slack-cost convention: x2 tests "
+                         "whether HPIPM's effective quadratic term is "
+                         "twice ours)")
     args = ap.parse_args()
 
     import jax
@@ -77,8 +90,9 @@ def main():
         opts = SolverOptions(
             qp_iter=args.qp_iter_override or c["qp_iter"],
             integrator=args.integrator,
-            compat_pred_bug=True, init_guess_when_error=True,
-            compat_brake_bug=True,
+            compat_pred_bug=True,
+            init_guess_when_error=not args.no_status4,
+            compat_brake_bug=not args.no_status4,
             fail_mu_tol=args.fail_mu, fail_stat_tol=args.fail_stat,
             init_guess="interpolate" if c["interpolate"] else "current")
         dtype = jnp.float64 if args.f64 else jnp.float32
@@ -86,6 +100,10 @@ def main():
             jax.config.update("jax_enable_x64", True)
         ctrl = make_rti_controller(spec, opts, dtype=dtype)
         params = default_cost_params(spec, dtype=dtype)
+        if args.slack_mult:
+            import dataclasses
+            params = dataclasses.replace(
+                params, slack_scale=params.slack_scale * args.slack_mult)
         start, goal = robot_start_goal(spec)
 
         obst, noise = mt_experiment_batch(
