@@ -101,6 +101,10 @@ def main(argv=None):
     p.add_argument("--max-iter", type=int, default=400)
     p.add_argument("--out", default="test_data/new")
     p.add_argument("--scenarios", nargs="+", default=["RANDOM", "EDGE"])
+    p.add_argument("--compat-rng", action="store_true",
+                   help="replay the reference's exact MT19937 worlds and "
+                        "obstacle noise per seed (np.random.seed(i) draw "
+                        "order) — rows comparable 1:1 with its bundled CSVs")
     _backend_arg(p)
 
     p = sub.add_parser("sweep", help="TF x N_OBST sweep")
@@ -139,7 +143,8 @@ def main(argv=None):
         run_experiment(spec=spec, opts=opts, scenarios=tuple(args.scenarios),
                        n_runs=args.runs, max_iter=args.max_iter,
                        out_dir=args.out, dtype=dtype, mesh=_resolve_mesh(args),
-                       backend=_resolve_backend(args.backend))
+                       backend=_resolve_backend(args.backend),
+                       compat_rng=args.compat_rng)
     elif args.cmd == "sweep":
         from doa_mpc_tpu.sim.experiments import run_horizon_sweep
         run_horizon_sweep(n_runs=args.runs, out_dir=args.out, verbose=True,

@@ -1131,12 +1131,16 @@ def _ip_solve_batchlast(QPX, QPU, DX0, nx, nu, N, M, iters, su, sb, tile,
         _ip_solve_kernel, nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
         stat_tol, sigma_max, n_pairs, structure, LQX, LQU, LR, LRES, LAFF)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    in_specs = [any_spec, any_spec,
+    # Explicit HBM (not ANY): under ANY, XLA may decide to place a small
+    # output buffer in VMEM when the consumer pattern suits it (observed
+    # inside a scan that only slices du), which lands on top of the
+    # kernel's ~14.4 MB scratch and OOMs scoped VMEM at sublane_batch=8.
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
+    in_specs = [hbm_spec, hbm_spec,
                 pl.BlockSpec((1, 1, _pad8(nx * sb), tile),
                              lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM)]
-    out_specs = (any_spec, any_spec, any_spec, ospec(1, 1), ospec(1, 1))
+    out_specs = (hbm_spec, hbm_spec, hbm_spec, ospec(1, 1), ospec(1, 1))
     out_shape = (
         jax.ShapeDtypeStruct((nt, N + 1, _pad8(nx * sb), tile), dtype),
         jax.ShapeDtypeStruct((nt, N, _pad8(nu * sb), tile), dtype),
@@ -1161,6 +1165,14 @@ def _ip_solve_batchlast(QPX, QPU, DX0, nx, nu, N, M, iters, su, sb, tile,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=dma_scratch + state_scratch + work_scratch,
+        # Raise Mosaic's scoped-VMEM accounting limit above the 16 MiB flag
+        # default: at sublane_batch=8 the kernel's ~14.4 MB scratch is fine
+        # on its own, but XLA's memory assignment sometimes ALSO places a
+        # small kernel output (e.g. du, 2.6 MB) in VMEM when the consumer
+        # pattern suits it, and the combined scoped accounting then trips
+        # the default limit at compile time even though the placement fits.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 2**20) if not interpret else None,
         interpret=interpret,
     )(pack(QPX), pack(QPU), pack(DX0))
     widths = (nx, nu, M, 1, 1)

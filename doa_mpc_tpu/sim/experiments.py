@@ -46,13 +46,20 @@ def run_scenario_batch(spec: WorldSpec, opts: SolverOptions, scenario: str,
                        seed: int = 0, dtype=jnp.float32,
                        params: CostParams | None = None,
                        mesh=None, start_goal_margin: float = 1.0,
-                       backend: str = "xla", return_state: bool = False):
+                       backend: str = "xla", return_state: bool = False,
+                       compat_rng: bool = False):
     """Run ``n_runs`` seeded scenarios in one batched rollout.
 
     Start/goal mirror experiments.py:20: start (X_MIN+1, Y_MIN+1, pi/4, 0, 0),
     goal (X_MAX-1, Y_MAX-1). Returns a (n_runs, 6) metrics array in the
     reference CSV column order. ``backend='pallas'`` uses the fused TPU
     Riccati kernel inside the QP solves.
+
+    ``compat_rng`` replays the reference's exact MT19937 streams: row i
+    uses the worlds and per-tick obstacle noise that ``np.random.seed(i)``
+    produces in the reference (sim/compat_rng.py) — seed-for-seed
+    comparable to its bundled CSVs. Incompatible with ``mesh`` (the noise
+    trajectory is a host-materialized scan input).
     """
     from doa_mpc_tpu.sim.closed_loop import make_batched_rollout
 
@@ -60,6 +67,31 @@ def run_scenario_batch(spec: WorldSpec, opts: SolverOptions, scenario: str,
     params = params or default_cost_params(spec, dtype=dtype)
     start, goal = robot_start_goal(spec, margin=start_goal_margin)
     start, goal = start.astype(dtype), goal.astype(dtype)
+
+    if compat_rng:
+        if mesh is not None:
+            raise ValueError("compat_rng does not support mesh sharding")
+        from doa_mpc_tpu.sim.compat_rng import mt_experiment_batch
+        obst, noise = mt_experiment_batch(
+            range(n_runs), spec, scenario, max_iter=max_iter,
+            dtype=np.float64 if dtype == jnp.float64 else np.float32)
+        state = init_loop_state(jax.random.PRNGKey(seed), ctrl, start, goal,
+                                scenario, batch_shape=(n_runs,), obst=obst)
+        rollout = make_batched_rollout(ctrl, goal, params, max_iter=max_iter,
+                                       backend=backend, use_noise_traj=True)
+        final = jax.jit(rollout)(state, jnp.asarray(noise))
+        m = jax.vmap(metrics_of)(final)
+        data = np.stack([
+            np.asarray(m.hit, np.float64),
+            np.asarray(m.reached, np.float64),
+            np.asarray(m.min_margin, np.float64),
+            np.asarray(m.dist, np.float64),
+            np.asarray(m.steps, np.float64),
+            np.asarray(m.oob, np.float64),
+        ], axis=1)
+        if return_state:
+            return data, final
+        return data
 
     state = init_loop_state(jax.random.PRNGKey(seed), ctrl, start, goal,
                             scenario, batch_shape=(n_runs,))
@@ -113,7 +145,7 @@ def run_experiment(spec: WorldSpec | None = None,
                    n_runs: int = 100, max_iter: int = 400,
                    out_dir: str = "test_data/new",
                    dtype=jnp.float32, mesh=None, verbose: bool = True,
-                   backend: str = "xla"):
+                   backend: str = "xla", compat_rng: bool = False):
     """The experiments.py:12-46 driver: per scenario, run the seeded batch
     and persist CSV + spec JSON with the reference's naming convention."""
     spec = spec or WorldSpec()
@@ -129,7 +161,7 @@ def run_experiment(spec: WorldSpec | None = None,
                   f"M={spec.n_obst}, qp_iter={opts.qp_iter})")
         data = run_scenario_batch(spec, opts, s, n_runs=n_runs,
                                   max_iter=max_iter, dtype=dtype, mesh=mesh,
-                                  backend=backend)
+                                  backend=backend, compat_rng=compat_rng)
         stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
         csv_path = os.path.join(out_dir, f"{stamp}_experiment_data.csv")
         if write:
@@ -146,6 +178,7 @@ def run_experiment(spec: WorldSpec | None = None,
             "dtype": str(np.dtype(np.float32 if dtype == jnp.float32
                                   else np.float64)),
             "compat_pred_bug": opts.compat_pred_bug,
+            "compat_rng": compat_rng,
             "fail_mu_tol": opts.fail_mu_tol,
             "fail_stat_tol": opts.fail_stat_tol,
             "backend": backend,

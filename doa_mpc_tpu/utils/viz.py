@@ -28,9 +28,13 @@ class VisDynamicRobotEnv:
     """
 
     def __init__(self, spec, robot_traj, obst_traj, pred_traj=None,
-                 start=None, goal=None):
+                 start=None, goal=None, interactive: bool = False):
         import matplotlib
-        matplotlib.use("Agg")
+        if not interactive:
+            # headless default; interactive=True keeps the user's GUI
+            # backend so run_animation() can plt.show() like the
+            # reference's VisDynamicRobotEnv (visualization.py:120-127)
+            matplotlib.use("Agg")
         import matplotlib.pyplot as plt
         self._plt = plt
         self.spec = spec
@@ -87,3 +91,15 @@ class VisDynamicRobotEnv:
         self._animate(t % self.T)
         self.fig.savefig(filename)
         self._plt.close(self.fig)
+
+    def run_animation(self, interval: int = 50):
+        """Interactive display (run_animation, visualization.py:120-127).
+
+        Requires ``interactive=True`` at construction (and a GUI matplotlib
+        backend); on headless setups use :meth:`save_animation`.
+        """
+        from matplotlib import animation
+        anim = animation.FuncAnimation(self.fig, self._animate,
+                                       frames=self.T, interval=interval)
+        self._plt.show()
+        return anim

@@ -41,27 +41,38 @@ st0 = init_loop_state(jax.random.PRNGKey(0), ctrl, start, goal, "RANDOM",
                       batch_shape=(B,))
 
 
-def timeit(name, fn, *args):
-    # jit ONCE and reuse the wrapper: re-wrapping per call retraces the
-    # whole scan on the host and dwarfs the device time being measured
-    jf = jax.jit(fn)
-    out = jax.block_until_ready(jf(*args))
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        out = jax.block_until_ready(jf(*args))
-        best = min(best, time.perf_counter() - t0)
-    print(f"{name:10s}: {best / TICKS * 1e3:7.3f} ms/tick", flush=True)
-    return out
+LONG = 200
+
+
+def timeit(name, fn_short, fn_long, *args):
+    """RTT-cancelled per-tick time: difference a LONG and a TICKS chain,
+    each forcing completion with a dependent-scalar fetch (the tunnel's
+    dispatch modes make block_until_ready-only timing fictional; see
+    docs/DESIGN.md section 3)."""
+    def best_of(jf):
+        out = jf(*args)
+        _ = float(jnp.sum(jax.tree.leaves(out)[0]))
+        best = float("inf")
+        for _i in range(4):
+            t0 = time.perf_counter()
+            out = jf(*args)
+            _ = float(jnp.sum(jax.tree.leaves(out)[0]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    t = max(best_of(fn_long) - best_of(fn_short), 1e-12) / (LONG - TICKS)
+    print(f"{name:10s}: {t * 1e3:7.4f} ms/tick", flush=True)
 
 
 def chain(step):
-    def run(carry):
-        def body(c, _):
-            return step(c), None
-        final, _ = jax.lax.scan(body, carry, None, length=TICKS)
-        return final
-    return run
+    def make(n):
+        @jax.jit
+        def run(carry):
+            def body(c, _):
+                return step(c), None
+            final, _ = jax.lax.scan(body, carry, None, length=n)
+            return final
+        return run
+    return make(TICKS), make(LONG)
 
 
 # forecast: obstacles -> predicted trajectories, fed back via a dep that
@@ -72,7 +83,7 @@ def f_forecast(carry):
     pred = predict_trajectory(ObstacleState(pos, vel), spec, spec.n_solv)
     return pos + 1e-6 * jnp.mean(pred, axis=0), vel
 
-timeit("forecast", chain(f_forecast), (st0.obst.pos, st0.obst.vel))
+timeit("forecast", *chain(f_forecast), (st0.obst.pos, st0.obst.vel))
 
 
 # buildqp: forecast + GN linearize + assemble. The obstacle state is part of
@@ -89,7 +100,7 @@ def f_buildqp(carry):
               for leaf in jax.tree.leaves(qp))
     return x0 + 1e-6 * dep[:, None], rti, pos + 1e-9 * dep[:, None, None], vel
 
-timeit("buildqp", chain(f_buildqp),
+timeit("buildqp", *chain(f_buildqp),
        (st0.x0, st0.rti, st0.obst.pos, st0.obst.vel))
 
 
@@ -103,7 +114,7 @@ def f_world(carry):
     )(sub, pos, vel)
     return key, ob.pos, ob.vel
 
-timeit("world", chain(f_world), (st0.key, st0.obst.pos, st0.obst.vel))
+timeit("world", *chain(f_world), (st0.key, st0.obst.pos, st0.obst.vel))
 
 
 # plant: RK4 integration of the robot
@@ -112,9 +123,9 @@ def f_plant(carry):
     u = 0.01 * x0[:, :2]
     return ctrl.integrate(x0, u)
 
-timeit("plant", chain(f_plant), st0.x0)
+timeit("plant", *chain(f_plant), st0.x0)
 
 
 # full glue for reference
 tick = make_batched_tick(ctrl, goal, params, backend="zero")
-timeit("noqp", chain(tick), st0)
+timeit("noqp", *chain(tick), st0)
