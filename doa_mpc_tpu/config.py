@@ -185,6 +185,15 @@ class SolverOptions:
     # controls, closed-loop trips ~40% slower than the reference baselines
     # (the round-1/2 behavior, kept for ablation).
     lm_scale_dt: bool = True
+    # Whether the slack penalties zl/Zl (robot_ocp_problem.py:145-152) are
+    # multiplied by the same dt cost scaling as the stage cost. acados treats
+    # slack penalties as part of the stage cost module, so the default True
+    # mirrors "cost_scaling multiplies the whole stage cost"; False keeps the
+    # reference's raw 1e4*(d^2+50) numbers per stage — a 1/dt (=10x at
+    # TF=2/N=20) stronger avoidance penalty relative to the goal cost.
+    # Kept as an axis for the seed-matched collision-gap forensics
+    # (VERDICT r4 item 1c).
+    slack_scale_dt: bool = True
     compat_pred_bug: bool = False
     # IP solver knobs
     ip_tau: float = 0.99         # fraction-to-boundary factor
@@ -192,7 +201,7 @@ class SolverOptions:
     ip_mu_min: float = 1e-10     # complementarity floor
 
     # --- acados status-4 reset path (robot_ocp_problem.py:203-205) --------
-    # Every bundled baseline run has init_guess_when_error=True
+    # Every bundled baseline run ARMS init_guess_when_error
     # (test_data/*spec.json "init_guess": true): when the QP solver fails,
     # the reference calls set_initial_guess(), which (a) resets the solver's
     # warm start to a stationary guess and (b) — via the aliasing bug at
@@ -202,6 +211,12 @@ class SolverOptions:
     # interior point did not converge to (fail_mu_tol, fail_stat_tol) within
     # its fixed qp_iter budget (both measured on the normalized QP, exactly
     # the solver's own freeze criterion in ops/ip_qp.py:363).
+    #
+    # LEAVE OFF unless studying the failure path: the round-5 seed-matched
+    # ablations (results/parity_r5/) show this criterion fires ~9-49x/run at
+    # the bundled budgets while the reference's HPIPM evidently almost never
+    # did, and the resulting mid-traffic brakes were the whole round-3/4
+    # collision excess (hit 24.8% -> 16.4% = reference parity when off).
     init_guess_when_error: bool = False
     fail_mu_tol: float = 1e-7    # duality-measure convergence threshold
     fail_stat_tol: float = 1e-4  # stationarity-residual threshold

@@ -21,7 +21,7 @@ Note: the reference continues simulating after a collision — only reaching
 the goal (or the tick budget) ends a run; ``hit`` is judged afterwards from
 ``min_margin <= 0`` (:277). Reproduced exactly.
 
-The acados status-4 reset path (:203-205) — active in EVERY bundled baseline
+The acados status-4 reset path (:203-205) — armed in EVERY bundled baseline
 run (``test_data/*spec.json`` has ``"init_guess": true`` throughout) — is
 reproduced behind ``SolverOptions.init_guess_when_error``: a row whose
 interior point did not converge within its fixed ``qp_iter`` budget (the
@@ -30,9 +30,18 @@ status 4) takes the reference's reset branch as a masked select: the warm
 start resets to the stationary guess AND, because ``set_initial_guess``
 aliases ``self.x0`` (``x_guess = self.x0; x_guess[3:] = 0``,
 robot_ocp_problem.py:301-302), the PLANT's velocity is zeroed before this
-tick's integration — an accidental emergency brake that the reference's
-baseline statistics depend on. The failed solve's u0 is still applied (the
-reference reads u before resetting, :198 vs :203).
+tick's integration — an accidental emergency brake. The failed solve's u0
+is still applied (the reference reads u before resetting, :198 vs :203).
+
+Round-5 calibration finding (results/parity_r5/, the seed-matched ablation
+matrix): the analogue's "not converged to (fail_mu, fail_stat)" criterion
+fires ~9-49x per run at the bundled budgets — while the reference's HPIPM
+evidently almost never returned status 4 there — and those uncalibrated
+mid-traffic brakes were the ENTIRE round-3/4 collision excess (+8.1 pp ->
+-0.3 pp when disabled) plus most of the trip-time and min-margin gaps.
+Keep ``init_guess_when_error=False`` (the default) unless specifically
+studying the failure path; arming it requires a fail criterion calibrated
+to the actual QP-failure rate of the solver being mimicked.
 """
 
 from __future__ import annotations
@@ -231,7 +240,8 @@ def make_tick(ctrl: RtiController, goal, params: CostParams,
 
 def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
                       random_move: bool = True, backend: str = "xla",
-                      sublane_batch: int | None = None):
+                      sublane_batch: int | None = None,
+                      fused_interpret: bool = False):
     """Natively-batched control tick with pluggable QP backend.
 
     Unlike ``vmap(make_tick(...))`` this calls the interior-point solver on
@@ -286,7 +296,8 @@ def make_batched_tick(ctrl: RtiController, goal, params: CostParams,
         if backend == "fused":
             sol = solve_ocp_qp_fused(qp, iters=opts.qp_iter, tau=opts.ip_tau,
                                      sublane_batch=sublane_batch,
-                                     structure=structure)
+                                     structure=structure,
+                                     interpret=fused_interpret)
         elif backend == "zero":
             # profiling aid: skip the solve (zero step) so the remaining
             # "glue" — forecast, linearization, plant, world, metrics —

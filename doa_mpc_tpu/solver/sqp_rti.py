@@ -222,7 +222,9 @@ class RtiController:
             jnp.sum((selx0 - goal4) ** 2) + params.slack_offset)
         stage_idx = jnp.arange(n + 1, dtype=dtype)
         alpha = scale * (n - stage_idx) / n                # alpha_N = 0
-        zl = sc[:, None] * alpha[:, None] * jnp.ones((1, spec.n_obst), dtype)
+        slack_sc = sc if opts.slack_scale_dt else jnp.ones_like(sc)
+        zl = slack_sc[:, None] * alpha[:, None] * jnp.ones((1, spec.n_obst),
+                                                           dtype)
         Zl = zl
 
         return OcpQp(A=A, B=B, c=c, dx0=x0 - xg[0], Q=Q, q=q, R=R, r=r, S=S,

