@@ -49,6 +49,13 @@ def _load():
     lib.ocp_ip_solve.argtypes = (
         [ctypes.c_int] * 5 + [ip] + [dp] * 17 + [ctypes.c_int]
         + [ctypes.c_double] * 5 + [dp] * 5)
+    lib.unicycle_rk4_sens.restype = None
+    lib.unicycle_rk4_sens.argtypes = [dp, dp, ctypes.c_double, dp, dp, dp]
+    lib.ocp_closed_loop_run.restype = ctypes.c_int
+    lib.ocp_closed_loop_run.argtypes = (
+        [ctypes.c_int] * 4 + [ctypes.c_double] * 11 + [dp] * 3
+        + [ctypes.c_double] * 6 + [dp] * 5 + [ctypes.c_int]
+        + [ctypes.c_double] * 4 + [dp] * 3 + [ip] * 2)
     _lib = lib
     return lib
 
@@ -144,6 +151,83 @@ def rk4_step(x, u, dt: float):
     oa, op = _c(out)
     lib.unicycle_rk4(xp, up, ctypes.c_double(dt), op)
     return oa
+
+
+def rk4_sens(x, u, dt: float):
+    """RK4 step plus exact sensitivities (Phi, dPhi/dx, dPhi/du)."""
+    lib = _load()
+    out, A, B = np.zeros(5), np.zeros((5, 5)), np.zeros((5, 2))
+    xa, xp = _c(x)
+    ua, up = _c(u)
+    oa, op = _c(out)
+    Aa, Ap = _c(A)
+    Ba, Bp = _c(B)
+    lib.unicycle_rk4_sens(xp, up, ctypes.c_double(dt), op, Ap, Bp)
+    return oa, Aa, Ba
+
+
+def closed_loop_run(spec, params, goal, x0, obst_pos, obst_vel,
+                    max_iter: int = 400, qp_iter: int | None = None,
+                    noise=None, cost_scale_dt: bool = True,
+                    slack_scale_dt: bool = True, lm_scale_dt: bool = True,
+                    compat_pred_bug: bool = False, ip_tau: float = 0.99,
+                    ip_reg: float = 1e-9, ip_tol: float = 0.0,
+                    ip_stat_tol: float = 0.0):
+    """Run the ENTIRE closed-loop RTI simulation in the native C++ runtime.
+
+    The standalone host-only controller (``native/ocp_core.cpp
+    ocp_closed_loop_run``): obstacle forecast, Gauss-Newton QP assembly,
+    Mehrotra interior point, RK4 plant step, warm-start shift — no JAX
+    anywhere. Mirrors ``sim/closed_loop.make_rollout`` with
+    ``integrator='rk4'`` and the status-4 analogue off; serves as the
+    independent end-to-end oracle in tests/test_native.py.
+
+    ``noise``: optional (T, M, 2) standard-normal draws for the obstacle
+    motion noise (None = noise-free world). ``ip_tol``/``ip_stat_tol`` = 0
+    disables the interior point's early exit so the fixed ``qp_iter``
+    budget matches the JAX solver's fixed-iteration semantics.
+
+    Returns dict with x_hist (T+1, 5), u_hist (T, 2), min_margin, steps,
+    reached, ticks.
+    """
+    lib = _load()
+    T = max_iter
+    M = spec.n_obst
+    qp_iter = spec.qp_iter if qp_iter is None else qp_iter
+    flags = ((1 if cost_scale_dt else 0) | (2 if slack_scale_dt else 0)
+             | (4 if lm_scale_dt else 0) | (8 if compat_pred_bug else 0))
+    holds = [_c(np.asarray(v)) for v in
+             (params.q_diag, params.r_diag, params.qe_diag,
+              x0, goal, np.asarray(obst_pos).reshape(M, 2),
+              np.asarray(obst_vel).reshape(M, 2))]
+    if noise is not None:
+        nh = _c(np.asarray(noise).reshape(T, M, 2))
+        noise_p = nh[1]
+    else:
+        noise_p = None
+    x_hist, xh_p = _c(np.zeros((T + 1, 5)))
+    u_hist, uh_p = _c(np.zeros((T, 2)))
+    mm = ctypes.c_double()
+    steps = ctypes.c_int()
+    reached = ctypes.c_int()
+    ticks = lib.ocp_closed_loop_run(
+        spec.n_solv, M, T, qp_iter, ctypes.c_double(spec.dt),
+        *[ctypes.c_double(v) for v in
+          (spec.x_min, spec.x_max, spec.y_min, spec.y_max, spec.r_obst,
+           spec.r_robot, spec.margin, spec.tol, spec.randomness,
+           spec.v_max_obst)],
+        holds[0][1], holds[1][1], holds[2][1],
+        *[ctypes.c_double(float(v)) for v in
+          (params.lm_reg, params.slack_scale, params.slack_offset,
+           params.x_bound, params.v_bound, params.u_bound)],
+        holds[3][1], holds[4][1], holds[5][1], holds[6][1], noise_p,
+        flags, ctypes.c_double(ip_tau), ctypes.c_double(ip_reg),
+        ctypes.c_double(ip_tol), ctypes.c_double(ip_stat_tol),
+        xh_p, uh_p, ctypes.byref(mm), ctypes.byref(steps),
+        ctypes.byref(reached))
+    return dict(x_hist=x_hist, u_hist=u_hist, min_margin=mm.value,
+                steps=steps.value, reached=bool(reached.value),
+                ticks=ticks)
 
 
 def irk3_step(x, u, dt: float, iters: int = 10):

@@ -814,4 +814,313 @@ void unicycle_irk3(const double* x, const double* u, double dt, int iters,
   }
 }
 
+// RK4 step + exact sensitivities A = dPhi/dx (5x5), B = dPhi/du (5x2) for
+// the unicycle, by forward-mode propagation of the 5x7 tangent [dx | du]
+// through the four stages (the native analogue of jax.jacfwd through
+// ops/integrators.rk4_step).
+void unicycle_rk4_sens(const double* x, const double* u, double dt,
+                       double* out, double* A_out, double* B_out) {
+  auto jac = [](const double* s, double J[5][7]) {
+    // continuous-time Jacobians: Jx columns 0..4, Ju columns 5..6
+    for (int i = 0; i < 5; ++i)
+      for (int j = 0; j < 7; ++j) J[i][j] = 0.0;
+    double psi = s[2], v = s[3];
+    J[0][2] = -v * std::sin(psi);
+    J[0][3] = std::cos(psi);
+    J[1][2] = v * std::cos(psi);
+    J[1][3] = std::sin(psi);
+    J[2][4] = 1.0;
+    J[3][5] = 1.0;
+    J[4][6] = 1.0;
+  };
+  // tangent of a stage state: T = I7_rows (dx part identity, du part zero
+  // for state rows) ... propagate D(t_i) (5x7) and Dk_i = J(t_i) * [D; E]
+  // where E is the 2x7 selector of the u columns (u does not vary within
+  // the step).
+  double k[4][5], Dk[4][5][7], t[5], Dt[5][7], J[5][7];
+  const double coef[4] = {0.0, 0.5, 0.5, 1.0};
+  for (int st = 0; st < 4; ++st) {
+    if (st == 0) {
+      for (int i = 0; i < 5; ++i) {
+        t[i] = x[i];
+        for (int j = 0; j < 7; ++j) Dt[i][j] = (i == j) ? 1.0 : 0.0;
+      }
+    } else {
+      for (int i = 0; i < 5; ++i) {
+        t[i] = x[i] + coef[st] * dt * k[st - 1][i];
+        for (int j = 0; j < 7; ++j)
+          Dt[i][j] = ((i == j) ? 1.0 : 0.0)
+                     + coef[st] * dt * Dk[st - 1][i][j];
+      }
+    }
+    unicycle_f(t, u, k[st]);
+    jac(t, J);
+    for (int i = 0; i < 5; ++i)
+      for (int j = 0; j < 7; ++j) {
+        double s2 = J[i][5] * ((j == 5) ? 1.0 : 0.0)
+                    + J[i][6] * ((j == 6) ? 1.0 : 0.0);
+        for (int m = 0; m < 5; ++m) s2 += J[i][m] * Dt[m][j];
+        Dk[st][i][j] = s2;
+      }
+  }
+  for (int i = 0; i < 5; ++i) {
+    out[i] = x[i] + dt / 6.0 * (k[0][i] + 2 * k[1][i] + 2 * k[2][i]
+                                + k[3][i]);
+    for (int j = 0; j < 7; ++j) {
+      double d = ((i == j) ? 1.0 : 0.0)
+                 + dt / 6.0 * (Dk[0][i][j] + 2 * Dk[1][i][j]
+                               + 2 * Dk[2][i][j] + Dk[3][i][j]);
+      if (j < 5) A_out[i * 5 + j] = d;
+      else       B_out[i * 2 + (j - 5)] = d;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Standalone native closed-loop RTI runtime.
+//
+// The full controller tick loop of sim/closed_loop.py (itself mirroring
+// RobotOcpProblem.step, robot_ocp_problem.py:168-258) implemented
+// independently in C++: obstacle forecast (exact wall bounce,
+// visualization.py:35-79), Gauss-Newton QP assembly with the dt-scaled
+// LINEAR_LS cost + LM + distance-scaled slack weights
+// (robot_ocp_problem.py:60-84,128,145-152), the Mehrotra interior point
+// above, RK4 plant step, and the warm-start shift. Serves as
+//   (a) the host-only production runtime (no accelerator needed), and
+//   (b) an INDEPENDENT end-to-end oracle for the JAX loop
+//       (tests/test_native.py::test_native_closed_loop_oracle) — nothing
+//       here shares code with the JAX path beyond this file's IP solver,
+//       which is itself cross-checked per-call against ops/ip_qp.
+//
+// Inputs: spec/cost scalars; x0 (5); goal (2); obst_pos/obst_vel (M*2);
+// noise (T*M*2 standard-normal draws, or NULL for noise-free worlds);
+// flags: bit0 cost_scale_dt, bit1 slack_scale_dt, bit2 lm_scale_dt,
+// bit3 compat_pred_bug.
+// Outputs: x_hist ((T+1)*5), u_hist (T*2) (zero-filled after the goal is
+// reached), min_margin/steps/reached summary. Returns ticks simulated.
+int ocp_closed_loop_run(
+    int N, int M, int T, int qp_iter, double dt,
+    double x_min, double x_max, double y_min, double y_max,
+    double r_obst, double r_robot, double margin, double tol_goal,
+    double randomness, double v_max_obst,
+    const double* q_diag, const double* r_diag, const double* qe_diag,
+    double lm, double slack_scale, double slack_offset,
+    double x_bound, double v_bound, double u_bound,
+    const double* x0_in, const double* goal,
+    const double* obst_pos_in, const double* obst_vel_in,
+    const double* noise, int flags,
+    double ip_tau, double ip_reg, double ip_tol, double ip_stat_tol,
+    double* x_hist, double* u_hist,
+    double* min_margin_out, int* steps_out, int* reached_out) {
+  const int nx = 5, nu = 2, nbx = 4, st = N + 1;
+  const int idxbx[4] = {0, 1, 3, 4};
+  const bool cost_sc = flags & 1, slack_sc = flags & 2, lm_sc = flags & 4,
+             pred_bug = flags & 8;
+  const double safe_sq = (r_obst + r_robot + margin) * (r_obst + r_robot
+                                                        + margin);
+  const double BIG = 1e6;
+
+  std::vector<double> xg(st * nx), ug(N * nu, 0.0);   // warm start
+  std::vector<double> x0(x0_in, x0_in + nx);
+  std::vector<double> opos(obst_pos_in, obst_pos_in + 2 * M);
+  std::vector<double> ovel(obst_vel_in, obst_vel_in + 2 * M);
+
+  // cold start (set_initial_guess, robot_ocp_problem.py:301-306)
+  for (int k = 0; k < st; ++k) {
+    for (int i = 0; i < nx; ++i) xg[k * nx + i] = (i < 3) ? x0[i] : 0.0;
+  }
+
+  // one noise-free bounce step of (p, v) in-place (visualization.py:35-60)
+  auto bounce = [&](double* p, double* v) {
+    for (int ax = 0; ax < 2; ++ax) {
+      double lo = ax ? y_min : x_min, hi = ax ? y_max : x_max;
+      double pv = p[ax], vv = v[ax], t_hit;
+      if (vv < 0) t_hit = (pv - lo) / std::abs(vv);
+      else if (vv > 0) t_hit = (hi - pv) / std::abs(vv);
+      else t_hit = 1e300;
+      if (t_hit <= dt) {
+        p[ax] = pv + vv * t_hit - vv * (dt - t_hit);
+        v[ax] = -vv;
+      } else {
+        p[ax] = pv + vv * dt;
+      }
+    }
+  };
+
+  std::vector<double> P(st * M * 2);                   // forecast
+  std::vector<double> A(N * nx * nx), B(N * nx * nu), c(N * nx), dx0(nx);
+  std::vector<double> Q(st * nx * nx), q(st * nx), R(N * nu * nu),
+      r(N * nu), S(N * nu * nx, 0.0);
+  std::vector<double> lb_u(N * nu), ub_u(N * nu), lb_x(st * nbx),
+      ub_x(st * nbx);
+  std::vector<double> C(st * M * nx), hval(st * M), zl(st * M), Zl(st * M);
+  std::vector<double> dx(st * nx), du(N * nu), s(st * M);
+
+  double min_margin = 1e300;
+  int steps = 0, reached = 0;
+  for (int i = 0; i < nx; ++i) x_hist[i] = x0[i];
+  std::memset(u_hist, 0, sizeof(double) * T * nu);
+  for (int k = 1; k <= T; ++k)
+    std::memset(&x_hist[k * nx], 0, sizeof(double) * nx);
+
+  int tick = 0;
+  for (; tick < T; ++tick) {
+    // ---- 1. obstacle forecast over the horizon (parameterize_model) ----
+    for (int o = 0; o < M; ++o) {
+      double p[2] = {opos[2 * o], opos[2 * o + 1]};
+      // the reference's line-69 typo seeds the prediction with vx = vy
+      double v[2] = {pred_bug ? ovel[2 * o + 1] : ovel[2 * o],
+                     ovel[2 * o + 1]};
+      P[(0 * M + o) * 2] = p[0];
+      P[(0 * M + o) * 2 + 1] = p[1];
+      for (int kk = 1; kk <= N; ++kk) {
+        bounce(p, v);
+        P[(kk * M + o) * 2] = p[0];
+        P[(kk * M + o) * 2 + 1] = p[1];
+      }
+    }
+
+    // ---- 2. Gauss-Newton QP assembly (sqp_rti.build_qp) ----------------
+    for (int kk = 0; kk < N; ++kk) {
+      double phi[5];
+      unicycle_rk4_sens(&xg[kk * nx], &ug[kk * nu], dt, phi,
+                        &A[kk * nx * nx], &B[kk * nx * nu]);
+      for (int i = 0; i < nx; ++i)
+        c[kk * nx + i] = phi[i] - xg[(kk + 1) * nx + i];
+    }
+    for (int i = 0; i < nx; ++i) dx0[i] = x0[i] - xg[i];
+
+    double dsel[4];
+    for (int j = 0; j < nbx; ++j)
+      dsel[j] = x0[idxbx[j]] - ((j == 0) ? goal[0] : (j == 1) ? goal[1]
+                                                              : 0.0);
+    double scale = slack_scale * (dsel[0] * dsel[0] + dsel[1] * dsel[1]
+                                  + dsel[2] * dsel[2] + dsel[3] * dsel[3]
+                                  + slack_offset);
+
+    for (int kk = 0; kk < st; ++kk) {
+      const bool terminal = (kk == N);
+      const double sc = terminal ? 1.0 : (cost_sc ? dt : 1.0);
+      const double lmk = terminal ? lm : (lm_sc ? sc * lm : lm);
+      const double* w = terminal ? qe_diag : q_diag;
+      double wfull[5] = {w[0], w[1], 0.0, w[2], w[3]};  // IDXBX scatter
+      for (int i = 0; i < nx; ++i) {
+        for (int j = 0; j < nx; ++j)
+          Q[kk * nx * nx + i * nx + j] =
+              (i == j) ? sc * wfull[i] + lmk : 0.0;
+        double yref = (i == 0) ? goal[0] : (i == 1) ? goal[1] : 0.0;
+        q[kk * nx + i] = sc * wfull[i] * (xg[kk * nx + i] - yref);
+      }
+      if (!terminal) {
+        for (int i = 0; i < nu; ++i) {
+          for (int j = 0; j < nu; ++j)
+            R[kk * nu * nu + i * nu + j] =
+                (i == j) ? sc * r_diag[i] + lmk : 0.0;
+          r[kk * nu + i] = sc * r_diag[i] * ug[kk * nu + i];
+          lb_u[kk * nu + i] = -u_bound - ug[kk * nu + i];
+          ub_u[kk * nu + i] = u_bound - ug[kk * nu + i];
+        }
+      }
+      // state box on stages 1..N-1 only (robot_ocp_problem.py:87-97)
+      for (int j = 0; j < nbx; ++j) {
+        double bnd = (j < 2) ? x_bound : v_bound;
+        double gv = xg[kk * nx + idxbx[j]];
+        bool inner = (kk >= 1 && kk <= N - 1);
+        lb_x[kk * nbx + j] = inner ? -bnd - gv : -BIG;
+        ub_x[kk * nbx + j] = inner ? bnd - gv : BIG;
+      }
+      // soft obstacle rows + distance-scaled stage-discounted slack
+      double alpha = scale * double(N - kk) / double(N);
+      double zv = (slack_sc ? sc : 1.0) * alpha;
+      for (int o = 0; o < M; ++o) {
+        double ddx = xg[kk * nx] - P[(kk * M + o) * 2];
+        double ddy = xg[kk * nx + 1] - P[(kk * M + o) * 2 + 1];
+        hval[kk * M + o] = ddx * ddx + ddy * ddy - safe_sq;
+        double* Crow = &C[(kk * M + o) * nx];
+        Crow[0] = 2.0 * ddx;
+        Crow[1] = 2.0 * ddy;
+        Crow[2] = Crow[3] = Crow[4] = 0.0;
+        zl[kk * M + o] = zv;
+        Zl[kk * M + o] = zv;
+      }
+    }
+
+    // ---- objective normalization (ops/ocp_qp.normalize_cost) -----------
+    double kappa = 1.0;
+    for (int i = 0; i < st * nx; ++i)
+      kappa = std::max(kappa, std::abs(Q[(i / nx) * nx * nx
+                                         + (i % nx) * nx + (i % nx)]));
+    for (int kk = 0; kk < N; ++kk)
+      for (int i = 0; i < nu; ++i)
+        kappa = std::max(kappa, std::abs(R[kk * nu * nu + i * nu + i]));
+    for (int i = 0; i < st * M; ++i) {
+      kappa = std::max(kappa, zl[i]);
+      kappa = std::max(kappa, Zl[i]);
+    }
+    double inv = 1.0 / kappa;
+    for (auto* vptr : {&Q, &q, &R, &r, &S, &zl, &Zl})
+      for (double& v2 : *vptr) v2 *= inv;
+
+    // ---- 3. interior-point solve ---------------------------------------
+    double mu, stat;
+    ocp_ip_solve(N, nx, nu, M, nbx, idxbx, A.data(), B.data(), c.data(),
+                 dx0.data(), Q.data(), q.data(), R.data(), r.data(),
+                 S.data(), lb_u.data(), ub_u.data(), lb_x.data(),
+                 ub_x.data(), C.data(), hval.data(), zl.data(), Zl.data(),
+                 qp_iter, ip_tau, ip_reg, ip_tol, ip_stat_tol, 1e12,
+                 dx.data(), du.data(), s.data(), &mu, &stat);
+    for (int i = 0; i < st * nx; ++i) xg[i] += dx[i];
+    for (int i = 0; i < N * nu; ++i) ug[i] += du[i];
+    double u0[2] = {ug[0], ug[1]};
+
+    // ---- 4. plant step (RK4) -------------------------------------------
+    double x_new[5];
+    unicycle_rk4(x0.data(), u0, dt, x_new);
+
+    // ---- 5. noisy obstacle world step (visualization.py:20-33) ---------
+    for (int o = 0; o < M; ++o) {
+      if (noise) {
+        for (int ax = 0; ax < 2; ++ax) {
+          double nz = noise[(tick * M + o) * 2 + ax];
+          double v2 = (1.0 + randomness * nz) * ovel[2 * o + ax];
+          ovel[2 * o + ax] = std::min(std::max(v2, -v_max_obst),
+                                      v_max_obst);
+        }
+      }
+      bounce(&opos[2 * o], &ovel[2 * o]);
+    }
+
+    // ---- 6. metrics ----------------------------------------------------
+    for (int o = 0; o < M; ++o) {
+      double ddx = x_new[0] - opos[2 * o], ddy = x_new[1] - opos[2 * o + 1];
+      double mg = std::sqrt(ddx * ddx + ddy * ddy) - (r_obst + r_robot);
+      min_margin = std::min(min_margin, mg);
+    }
+    std::memcpy(x0.data(), x_new, sizeof(x_new));
+    std::memcpy(&x_hist[(tick + 1) * nx], x_new, sizeof(x_new));
+    u_hist[tick * nu] = u0[0];
+    u_hist[tick * nu + 1] = u0[1];
+    double gdx = x_new[0] - goal[0], gdy = x_new[1] - goal[1];
+    if (std::sqrt(gdx * gdx + gdy * gdy) <= tol_goal) {
+      reached = 1;
+      ++tick;
+      break;
+    }
+    ++steps;
+
+    // ---- 7. warm-start shift (robot_ocp_problem.py:253-258) ------------
+    for (int kk = 0; kk < N; ++kk)
+      std::memcpy(&xg[kk * nx], &xg[(kk + 1) * nx], sizeof(double) * nx);
+    for (int kk = 0; kk + 1 < N; ++kk)
+      std::memcpy(&ug[kk * nu], &ug[(kk + 1) * nu], sizeof(double) * nu);
+    ug[(N - 1) * nu] = 0.0;
+    ug[(N - 1) * nu + 1] = 0.0;
+  }
+
+  *min_margin_out = min_margin;
+  *steps_out = steps;
+  *reached_out = reached;
+  return tick;
+}
+
 }  // extern "C"
