@@ -1084,10 +1084,11 @@ def _ip_solve_kernel(nx, nu, N, M, nbx, iters, su, sb, reg, tau, tol,
 
 @functools.partial(jax.jit, static_argnames=(
     "nx", "nu", "N", "M", "iters", "su", "sb", "tile", "reg", "tau", "tol",
-    "stat_tol", "sigma_max", "structure", "interpret"))
+    "stat_tol", "sigma_max", "structure", "interpret", "vmem_limit_bytes"))
 def _ip_solve_batchlast(QPX, QPU, DX0, nx, nu, N, M, iters, su, sb, tile,
                         reg, tau, tol, stat_tol, sigma_max,
-                        structure=GENERIC_STRUCTURE, interpret=False):
+                        structure=GENERIC_STRUCTURE, interpret=False,
+                        vmem_limit_bytes=None):
     dtype = QPX.dtype
     Bp = QPX.shape[-1]
     grid = (Bp // (sb * tile),)
@@ -1172,7 +1173,8 @@ def _ip_solve_batchlast(QPX, QPU, DX0, nx, nu, N, M, iters, su, sb, tile,
         # pattern suits it, and the combined scoped accounting then trips
         # the default limit at compile time even though the placement fits.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=24 * 2**20) if not interpret else None,
+            vmem_limit_bytes=vmem_limit_bytes or 24 * 2**20)
+        if not interpret else None,
         interpret=interpret,
     )(pack(QPX), pack(QPU), pack(DX0))
     widths = (nx, nu, M, 1, 1)
@@ -1185,7 +1187,8 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
                        stage_unroll: int | None = None,
                        sublane_batch: int | None = None,
                        structure: QpStructure | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       vmem_limit_bytes: int | None = None):
     """Fully-fused interior-point solve. ``qp`` has one leading batch axis.
 
     Returns an ``ops.ip_qp.IpSolution``. The math matches ``solve_ocp_qp``
@@ -1291,7 +1294,8 @@ def solve_ocp_qp_fused(qp: OcpQp, iters: int = 50, tau: float = 0.99,
         QPX, QPU, DX0, nx=nx, nu=nu, N=N, M=M, iters=iters, su=stage_unroll,
         sb=sublane_batch, tile=tile, reg=reg,
         tau=tau, tol=tol, stat_tol=stat_tol, sigma_max=sigma_max,
-        structure=structure, interpret=interpret)
+        structure=structure, interpret=interpret,
+        vmem_limit_bytes=vmem_limit_bytes)
 
     def unprep(a):
         return jnp.moveaxis(a, -1, 0)[:Bt]
