@@ -231,3 +231,41 @@ def test_interpolate_init_guess_reproduces_reference_bugs():
     np.testing.assert_allclose(np.asarray(g.x_traj[:, 2]), np.pi / 2)
     np.testing.assert_allclose(np.asarray(g.x_traj[:, 3:]), 0.0)
     np.testing.assert_allclose(np.asarray(g.u_traj), 0.0)
+
+
+def test_slack_scale_dt_option():
+    """The slack_scale_dt ablation axis (round-5 forensics): with it off,
+    path-stage slack penalties are the raw reference numbers — 1/dt times
+    the dt-scaled default — while the terminal stage (alpha_N = 0) and
+    every other QP field are unchanged."""
+    import dataclasses
+
+    from doa_mpc_tpu.config import SolverOptions, WorldSpec, default_cost_params
+    from doa_mpc_tpu.sim.closed_loop import init_loop_state
+    from doa_mpc_tpu.sim.obstacles import predict_trajectory, robot_start_goal
+    from doa_mpc_tpu.solver.sqp_rti import make_rti_controller
+
+    spec = WorldSpec(tf=2.0, n_solv=20, qp_iter=10)
+    params = default_cost_params(spec, dtype=jnp.float64)
+    start, goal = robot_start_goal(spec)
+    qps = {}
+    for flag in (True, False):
+        opts = SolverOptions(qp_iter=10, integrator="rk4",
+                             slack_scale_dt=flag)
+        ctrl = make_rti_controller(spec, opts, dtype=jnp.float64)
+        st = init_loop_state(jax.random.PRNGKey(3), ctrl,
+                             jnp.asarray(start, jnp.float64), goal, "RANDOM")
+        pred = predict_trajectory(st.obst, spec, spec.n_solv)
+        qps[flag] = ctrl.build_qp(st.rti, st.x0, goal, pred, params)
+
+    scaled, raw = qps[True], qps[False]
+    dt = spec.dt
+    np.testing.assert_allclose(np.asarray(raw.zl[:-1]),
+                               np.asarray(scaled.zl[:-1]) / dt, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(raw.Zl[:-1]),
+                               np.asarray(scaled.Zl[:-1]) / dt, rtol=1e-12)
+    assert float(jnp.max(jnp.abs(raw.zl[-1]))) == 0.0    # alpha_N = 0
+    for field in ("Q", "q", "R", "r", "A", "B", "c", "lb_x", "ub_x",
+                  "lb_u", "ub_u", "C", "hval"):
+        np.testing.assert_array_equal(np.asarray(getattr(raw, field)),
+                                      np.asarray(getattr(scaled, field)))
