@@ -51,11 +51,12 @@ class SubgoalEnv:
                  opts: SolverOptions | None = None,
                  params: CostParams | None = None,
                  batch: int = 64, k_ticks: int = 10, max_steps: int = 40,
-                 dtype=jnp.float32):
+                 scenario: str = "RANDOM", dtype=jnp.float32):
         from doa_mpc_tpu.config import default_cost_params
 
         self.spec = spec or WorldSpec(tf=2.0, n_solv=20, qp_iter=10)
         self.opts = opts or SolverOptions(qp_iter=10, integrator="rk4")
+        self.scenario = scenario
         self.ctrl = make_rti_controller(self.spec, self.opts, dtype=dtype)
         self.params = params or default_cost_params(self.spec, dtype=dtype)
         self.batch = batch
@@ -80,7 +81,8 @@ class SubgoalEnv:
             [robot, per_obst.reshape(per_obst.shape[:-2] + (-1,))], -1)
 
     # -- reset ----------------------------------------------------------
-    def reset(self, key, scenario: str = "RANDOM") -> Tuple[EnvState, jnp.ndarray]:
+    def reset(self, key, scenario: str | None = None) -> Tuple[EnvState, jnp.ndarray]:
+        scenario = self.scenario if scenario is None else scenario
         start, goal = robot_start_goal(self.spec)
         start, goal = start.astype(self.dtype), goal.astype(self.dtype)
         loop = init_loop_state(key, self.ctrl, start, goal, scenario,

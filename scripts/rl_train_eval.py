@@ -37,8 +37,10 @@ from doa_mpc_tpu.rl.train import train
 
 
 def evaluate(env: SubgoalEnv, policy, key, episodes: int = 3):
-    """Greedy closed-loop evaluation; returns per-episode aggregates."""
+    """Greedy closed-loop evaluation; returns per-episode aggregates plus
+    the per-scenario outcome vectors (for matched-seed pairing)."""
     rows = []
+    per_row = {"reached": [], "hit": []}
     for ep in range(episodes):
         key, kreset = jax.random.split(key)
         st, obs = jax.jit(env.reset)(kreset)
@@ -50,6 +52,8 @@ def evaluate(env: SubgoalEnv, policy, key, episodes: int = 3):
                 break
         hit = np.asarray(st.loop.min_margin <= 0.0)
         reached = np.asarray(st.prev_dist <= env.spec.tol)
+        per_row["reached"].append(reached)
+        per_row["hit"].append(hit)
         rows.append({
             "reached": float(reached.mean()),
             "hit": float(hit.mean()),
@@ -59,7 +63,8 @@ def evaluate(env: SubgoalEnv, policy, key, episodes: int = 3):
     agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
     agg["episodes"] = episodes
     agg["batch"] = env.batch
-    return agg, rows
+    vecs = {k: np.concatenate(v) for k, v in per_row.items()}
+    return agg, rows, vecs
 
 
 def main(argv=None):
@@ -72,13 +77,22 @@ def main(argv=None):
     ap.add_argument("--eval-episodes", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="results/rl_r4")
+    ap.add_argument("--scenario", default="RANDOM",
+                    choices=["RANDOM", "CENTER", "EDGE"],
+                    help="world scenario for train AND eval. EDGE piles "
+                         "every obstacle on the goal corner — the regime "
+                         "where the fixed-goal baseline struggles "
+                         "(VERDICT r4 item 6)")
+    ap.add_argument("--n-obst", type=int, default=5)
     args = ap.parse_args(argv)
 
     os.makedirs(args.out, exist_ok=True)
-    spec = WorldSpec(tf=2.0, n_solv=20, n_obst=5, qp_iter=args.qp_iter)
+    spec = WorldSpec(tf=2.0, n_solv=20, n_obst=args.n_obst,
+                     qp_iter=args.qp_iter)
     opts = SolverOptions(qp_iter=args.qp_iter, integrator="rk4")
     env = SubgoalEnv(spec=spec, opts=opts, batch=args.batch,
-                     k_ticks=args.k_ticks, max_steps=args.max_steps)
+                     k_ticks=args.k_ticks, max_steps=args.max_steps,
+                     scenario=args.scenario)
     # act_limit 7.2 (not the 6.0 default): the final goal sits at (7, 7),
     # and a tanh-limited policy must be ABLE to propose it — otherwise the
     # terminal reward is unreachable by construction and the comparison
@@ -114,11 +128,39 @@ def main(argv=None):
                 jnp.asarray(goal, jnp.float32), (args.batch, 2))
         return goal_actions
 
-    pol_agg, pol_rows = evaluate(env, lambda o: greedy(o), key,
-                                 episodes=args.eval_episodes)
-    base_agg, base_rows = evaluate(env, baseline, key,
-                                   episodes=args.eval_episodes)
-    result = {"policy": pol_agg, "baseline_fixed_goal": base_agg,
+    pol_agg, pol_rows, pol_vec = evaluate(env, lambda o: greedy(o), key,
+                                          episodes=args.eval_episodes)
+    base_agg, base_rows, base_vec = evaluate(env, baseline, key,
+                                             episodes=args.eval_episodes)
+
+    def paired(name, pol, base, better_when_true):
+        """Matched-seed McNemar stats: the reset key sequence is identical
+        for both arms, so row i of episode e is the SAME world."""
+        pol = pol.astype(bool)
+        base = base.astype(bool)
+        b = int((pol & ~base).sum())     # policy-only successes/failures
+        c = int((~pol & base).sum())
+        z = abs(b - c) / np.sqrt(b + c) if (b + c) else 0.0
+        n = len(pol)
+        delta = (pol.mean() - base.mean())
+        # binomial (Wald) CI on the paired delta: var = (b + c - (b-c)^2/n)/n^2
+        se = np.sqrt(max(b + c - (b - c) ** 2 / n, 0.0)) / n
+        return {"metric": name, "n": n,
+                "policy_rate": float(pol.mean()),
+                "baseline_rate": float(base.mean()),
+                "delta": float(delta),
+                "delta_ci95": [float(delta - 1.96 * se),
+                               float(delta + 1.96 * se)],
+                "discordant_policy_only": b, "discordant_baseline_only": c,
+                "mcnemar_z": float(z),
+                "significant_2sigma": bool(z > 2.0),
+                "policy_better": bool((delta > 0) == better_when_true)}
+
+    pairs = [paired("reached", pol_vec["reached"], base_vec["reached"], True),
+             paired("hit", pol_vec["hit"], base_vec["hit"], False)]
+    result = {"scenario": args.scenario, "n_obst": args.n_obst,
+              "policy": pol_agg, "baseline_fixed_goal": base_agg,
+              "paired_stats": pairs,
               "policy_episodes": pol_rows, "baseline_episodes": base_rows,
               "note": "identical reset key sequence for both arms"}
     with open(os.path.join(args.out, "eval.json"), "w") as f:
