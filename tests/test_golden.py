@@ -8,6 +8,15 @@ Any unintended numerical change to dynamics, linearization, QP solver, or
 the closed loop shows up as a diff against the stored snapshot
 (``tests/golden/closed_loop_seed42.npz``; regenerate deliberately via the
 snippet in its git history when semantics change on purpose).
+
+Self-reference caveat, and its answer: a snapshot of our own engine
+cannot catch a bug present at snapshot time. The INDEPENDENT end-to-end
+oracle is ``test_native.py::test_native_closed_loop_oracle`` — a
+from-scratch C++ implementation of the whole loop that free-runs against
+the JAX engine to ~1e-10 — and, at the statistics level, the
+seed-matched parity matrices vs the reference's own bundled runs
+(``results/parity_r5/``). This file's job is cheap drift DETECTION;
+those two provide the ground truth.
 """
 
 import os
