@@ -49,14 +49,17 @@ def main():
     ap.add_argument("--qp-iter-override", type=int, default=None,
                     help="run the cell with this IP iteration budget "
                          "instead of the bundled QP_ITER (accuracy probe)")
+    ap.add_argument("--status4", action="store_true",
+                    help="ARM the status-4 reset analogue (off by default "
+                         "since round 5): its 'not converged to (fail_mu, "
+                         "fail_stat)' criterion fires 9-49x/run at the "
+                         "bundled budgets — far beyond anything HPIPM did "
+                         "— and the resulting mid-traffic plant braking "
+                         "was the whole round-3/4 collision excess "
+                         "(results/parity_r5/forensics.md)")
     ap.add_argument("--no-status4", action="store_true",
-                    help="disable the status-4 reset analogue. REQUIRED "
-                         "when overriding qp_iter far below the bundled "
-                         "cell's budget: the analogue's fail criterion is "
-                         "'not converged to (fail_mu, fail_stat)', which "
-                         "at qp_iter=6 fires every tick (constant warm-"
-                         "start resets + compat plant braking) and is NOT "
-                         "what the reference's QP_ITER=50+ HPIPM did")
+                    help="deprecated (the default since round 5); kept so "
+                         "recorded round-4/5 command lines still run")
     ap.add_argument("--slack-mult", type=float, default=None,
                     help="multiply the slack penalty scale (diagnostic for "
                          "the acados slack-cost convention: x2 tests "
@@ -124,8 +127,8 @@ def main():
             cost_scale_dt=not args.cost_unscaled,
             slack_scale_dt=not args.slack_unscaled,
             lm_scale_dt=not (args.lm_raw or args.cost_unscaled),
-            init_guess_when_error=not args.no_status4,
-            compat_brake_bug=not args.no_status4,
+            init_guess_when_error=args.status4,
+            compat_brake_bug=args.status4,
             fail_mu_tol=args.fail_mu, fail_stat_tol=args.fail_stat,
             init_guess="interpolate" if c["interpolate"] else "current")
         dtype = jnp.float64 if args.f64 else jnp.float32
@@ -225,7 +228,7 @@ def main():
     meta = {"backend": args.backend, "integrator": args.integrator,
             "seedmatched": True, "fail_mu_tol": args.fail_mu,
             "fail_stat_tol": args.fail_stat,
-            "status4": not args.no_status4,
+            "status4": args.status4,
             "slack_scale_dt": not args.slack_unscaled,
             "cost_scale_dt": not args.cost_unscaled,
             "lm_scale_dt": not (args.lm_raw or args.cost_unscaled),
