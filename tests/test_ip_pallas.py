@@ -178,3 +178,27 @@ def test_fused_structured_matches_generic_interpret():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(st.mu), np.asarray(gen.mu),
                                rtol=1e-5)
+
+
+def test_sublane_batch_autoselection_points():
+    """Pin the shipped auto-selection outcomes: the production N=20/M=5
+    problem must pick sublane_batch=8 (full VPU sublane occupancy — the
+    round-4 1.8x lever) and the long-horizon N=40/M=8 config must degrade
+    to sb=2 within the 14.5 MB budget. A kernel-layout edit that silently
+    changes either shows up here before it shows up as a throughput
+    regression on the chip (the bracketing of the estimate itself against
+    Mosaic's scoped accounting is tests/test_vmem_guard.py)."""
+    from doa_mpc_tpu.ops.ip_pallas import fused_vmem_bytes
+    from doa_mpc_tpu.solver.sqp_rti import UNICYCLE_QP_STRUCTURE
+
+    budget = 14.5 * 2**20
+
+    def auto_sb(N, M):
+        for cand in (8, 4, 2):
+            if fused_vmem_bytes(N, M, sb=cand,
+                                structure=UNICYCLE_QP_STRUCTURE) <= budget:
+                return cand
+        return 1
+
+    assert auto_sb(20, 5) == 8
+    assert auto_sb(40, 8) == 2
