@@ -82,6 +82,12 @@ def main():
     ap.add_argument("--seeds", type=int, default=None,
                     help="use only the first K of the cell's 100 seeds "
                          "(bounds the f64 CPU leg's runtime)")
+    ap.add_argument("--fix-pred-bug", action="store_true",
+                    help="run with the reference's obstacle-prediction "
+                         "vx=vy typo (visualization.py:69) FIXED — the "
+                         "framework default — on the reference's identical "
+                         "worlds, quantifying how much of its published "
+                         "collision rate is that bug")
     args = ap.parse_args()
 
     import os as _os
@@ -123,7 +129,7 @@ def main():
         opts = SolverOptions(
             qp_iter=args.qp_iter_override or c["qp_iter"],
             integrator=args.integrator,
-            compat_pred_bug=True,
+            compat_pred_bug=not args.fix_pred_bug,
             cost_scale_dt=not args.cost_unscaled,
             slack_scale_dt=not args.slack_unscaled,
             lm_scale_dt=not (args.lm_raw or args.cost_unscaled),
