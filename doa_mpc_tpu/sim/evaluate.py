@@ -73,6 +73,7 @@ def plot_graph(data_dir: str, out_dir: str = "."):
     plt = _plt()
     from matplotlib.cm import ScalarMappable
 
+    os.makedirs(out_dir, exist_ok=True)
     pairs = load_experiment_data(data_dir)
     for value_fn, ylabel, fname in [
         (lambda d: 100 * collision_ratio(d), "Ratio of collision (%)",
@@ -106,6 +107,7 @@ def plot_graph(data_dir: str, out_dir: str = "."):
 def plot_graph_qp_solver(data_dir: str, out_dir: str = "."):
     """Collision/goal rate vs QP_ITER (evaluate_experiments.py:93-121)."""
     plt = _plt()
+    os.makedirs(out_dir, exist_ok=True)
     pairs = load_experiment_data(data_dir)
     coll = {s["QP_ITER"]: 100 * collision_ratio(d) for s, d in pairs}
     goal = {s["QP_ITER"]: 100 * float(d[:, 1].mean()) for s, d in pairs}

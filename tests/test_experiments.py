@@ -73,11 +73,14 @@ def test_plots_render(tmp_path):
     run_experiment(spec=SPEC, opts=OPTS, scenarios=("RANDOM", "EDGE"),
                    n_runs=4, max_iter=20, out_dir=out, dtype=jnp.float64,
                    verbose=False)
-    plot_graph(out, out_dir=out)
-    plot_graph_qp_solver(out, out_dir=out)
+    # out_dir that does not exist yet must be created (regression: the
+    # CLI `evaluate --out` path crashed with FileNotFoundError)
+    plots = os.path.join(out, "plots")
+    plot_graph(out, out_dir=plots)
+    plot_graph_qp_solver(out, out_dir=plots)
     for f in ("plot_collision_rate_seperate.svg",
               "plot_goal_reached_rate_seperate.svg", "plot_qp_iter.svg"):
-        assert os.path.exists(os.path.join(out, f))
+        assert os.path.exists(os.path.join(plots, f))
 
 
 def test_scenario_batch_deterministic():
