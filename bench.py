@@ -55,9 +55,12 @@ B1_REPS = 24
 # QP primal by shifting the previous solution, so few IP iterations suffice.
 # The persisted sweep (results/iter_sweep_r3/, 256 seeds x 2 scenarios per
 # count, CSVs in the reference schema) locates the quality cliff at 2
-# iterations (reached collapses 96% -> 7%); 4 and up are statistically
-# indistinguishable from 20 (RANDOM 95.7-96.5%, EDGE 87.5-89.8%). 6 keeps a
-# 3x margin over the cliff at 1.32M solves/s (vs 1.05M at 10, 0.67M at 20).
+# iterations (reached collapses 96% -> 7%). The round-5 SEED-MATCHED
+# re-validation (results/parity_r5/qp_budget/ + prod_rk4_qp6/) sharpens
+# this: 6 iterations hold reference quality on the reference's own worlds
+# across all 10 bundled cells (hit parity, reached better, trips within
+# 3%), while 4 iterations slow trips 36% — aggregate rates alone hid that.
+# 6 is the validated budget; the validated config IS the benchmarked one.
 QP_ITER = 6
 BACKENDS = ("fused", "pallas", "xla")
 ATTEMPT_TIMEOUT_S = 560  # 3 compiles (B=4096 scan, pct chunk, B=1 chunk) + timing
